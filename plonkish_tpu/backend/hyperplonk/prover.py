@@ -1,0 +1,267 @@
+"""HyperPlonk prover helpers.
+
+Mirrors /root/reference/plonkish_backend/src/backend/hyperplonk/prover.rs with
+TPU-native replacements for every O(2^k) loop:
+
+- lookup compression  -> one vectorized expression evaluation per column set
+- lookup h polys      -> const-add + log-depth batched inversion kernels
+- permutation z polys -> device `associative_scan` prefix product over the
+  BH-ordered sequence, then a single scatter back to natural order
+  (the reference's sequential running product, prover.rs:307-323)
+- multiplicity counts -> host hash-map for now (sort/searchsorted device
+  version is a planned optimization; shapes are data-dependent)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...fields import limb
+from ...fields.host import Fp
+from ...fields.spec import FieldSpec
+from ...piop.evaluator import evaluate_on_hypercube, identity_table
+from ...piop.sum_check import ClassicSumCheck, VirtualPolynomial
+from ...poly.multilinear import MLPoly
+from ...utils.bh import BooleanHypercube
+from ...utils.expression import Expression, Query, Rotation
+from ...utils.transcript import Keccak256Transcript
+from .verifier import pcs_query, point_offset, points
+from ..pcs_api import Evaluation
+
+
+def row_mapping(k: int) -> List[int]:
+    """Witness encoding: instances at BH positions 1.. (hyperplonk.rs:365-369)."""
+    bh = BooleanHypercube(k)
+    order = list(bh.iter())
+    return order[1:] + [0]
+
+
+def instance_polys(
+    spec: FieldSpec, num_vars: int, instances: Sequence[Sequence[Fp]]
+) -> List[MLPoly]:
+    mapping = row_mapping(num_vars)
+    out = []
+    for column in instances:
+        vals = [Fp.zero(spec)] * (1 << num_vars)
+        for b, value in zip(mapping, column):
+            vals[b] = value
+        out.append(MLPoly.from_fps(spec, vals))
+    return out
+
+
+def lookup_compressed_polys(
+    spec: FieldSpec,
+    lookups: List[List[Tuple[Expression, Expression]]],
+    polys: List[MLPoly],
+    challenges: List[Fp],
+    betas: List[Fp],
+) -> List[Tuple[MLPoly, MLPoly]]:
+    """β-powers-compressed input/table columns (prover.rs:50-137), computed as
+    vectorized expression evaluations over the hypercube."""
+    if not lookups:
+        return []
+    num_vars = polys[0].num_vars
+    tables = [p.evals for p in polys]
+    out = []
+    for lookup in lookups:
+        compressed = []
+        for exprs in ([inp for inp, _ in lookup], [tbl for _, tbl in lookup]):
+            acc = None
+            for beta_pow, expr in zip(betas, exprs):
+                col = evaluate_on_hypercube(
+                    spec, expr, num_vars, tables, challenges
+                )
+                col = limb.mont_mul(spec, col, limb.const(spec, int(beta_pow)))
+                acc = col if acc is None else limb.add(spec, acc, col)
+            compressed.append(MLPoly(spec, acc))
+        out.append((compressed[0], compressed[1]))
+    return out
+
+
+def lookup_m_polys(
+    compressed_polys: List[Tuple[MLPoly, MLPoly]]
+) -> List[MLPoly]:
+    """Multiplicity polynomials (prover.rs:139-192).  Counting is inherently
+    hash-map-shaped; runs on host over canonical values."""
+    out = []
+    for (input_poly, table_poly) in compressed_polys:
+        spec = input_poly.spec
+        input_vals = [int(v) for v in limb.to_ints(
+            limb.from_mont(spec, input_poly.evals))]
+        table_vals = [int(v) for v in limb.to_ints(
+            limb.from_mont(spec, table_poly.evals))]
+        index_map = {}
+        for idx, v in enumerate(table_vals):
+            if v not in index_map:
+                index_map[v] = idx
+        m = [0] * len(input_vals)
+        for v in input_vals:
+            idx = index_map.get(v)
+            if idx is None:
+                raise ValueError("Invalid lookup input")
+            m[idx] += 1
+        out.append(MLPoly.from_ints(spec, m))
+    return out
+
+
+def lookup_h_polys(
+    compressed_polys: List[Tuple[MLPoly, MLPoly]],
+    m_polys: List[MLPoly],
+    gamma: Fp,
+) -> List[MLPoly]:
+    """h = 1/(γ+input) − m/(γ+table), batch-inverted on device
+    (prover.rs:194-250)."""
+    out = []
+    for (input_poly, table_poly), m_poly in zip(compressed_polys, m_polys):
+        spec = input_poly.spec
+        g = limb.const(spec, int(gamma))
+        h_input = limb.add(spec, input_poly.evals, g)
+        h_table = limb.add(spec, table_poly.evals, g)
+        both = jnp.concatenate([h_input, h_table], axis=0)
+        inv = limb.batch_inv(spec, both)
+        n = h_input.shape[0]
+        h = limb.sub(
+            spec,
+            inv[:n],
+            limb.mont_mul(spec, inv[n:], m_poly.evals),
+        )
+        out.append(MLPoly(spec, h))
+    return out
+
+
+def permutation_z_polys(
+    num_chunks: int,
+    permutation_polys: List[Tuple[int, MLPoly]],
+    polys: List[MLPoly],
+    beta: Fp,
+    gamma: Fp,
+) -> List[MLPoly]:
+    """Grand-product z polynomials (prover.rs:252-345).
+
+    products per chunk on device; the running product over BH order becomes a
+    gather -> associative_scan(mont_mul) -> scatter pipeline.
+    """
+    if not permutation_polys:
+        return []
+    spec = polys[0].spec
+    num_vars = polys[0].num_vars
+    n = 1 << num_vars
+    chunk_size = -(-len(permutation_polys) // num_chunks)
+
+    beta_c = limb.const(spec, int(beta))
+    gamma_c = limb.const(spec, int(gamma))
+
+    products = []  # per chunk: [n, L] tensor
+    for c in range(num_chunks):
+        chunk = permutation_polys[c * chunk_size: (c + 1) * chunk_size]
+        denom = None
+        for (poly_idx, perm_poly) in chunk:
+            term = limb.add(
+                spec,
+                limb.add(
+                    spec,
+                    limb.mont_mul(spec, beta_c, perm_poly.evals),
+                    gamma_c,
+                ),
+                polys[poly_idx].evals,
+            )
+            denom = term if denom is None else limb.mont_mul(spec, denom, term)
+        denom_inv = limb.batch_inv(spec, denom)
+        numer = None
+        for (poly_idx, _), global_idx in zip(chunk, range(c * chunk_size, n)):
+            # id poly for column global_idx: value idx·2^k + b at row b
+            ident = identity_table(spec, num_vars)
+            offset = limb.const(spec, (global_idx << num_vars) % spec.p)
+            id_vals = limb.add(spec, ident, offset)
+            term = limb.add(
+                spec,
+                limb.add(spec, limb.mont_mul(spec, beta_c, id_vals), gamma_c),
+                polys[poly_idx].evals,
+            )
+            numer = term if numer is None else limb.mont_mul(spec, numer, term)
+        products.append(limb.mont_mul(spec, numer, denom_inv))
+
+    bh = BooleanHypercube(num_vars)
+    order = jnp.asarray(bh.iter_array)  # nth -> b
+
+    # v[t] = products[t % nc][order[1 + t//nc]] for t in 0..nc*n - nc - 1
+    nc = num_chunks
+    stacked = jnp.stack(products, axis=0)  # [nc, n, L]
+    bs = order[1:]  # [n-1]
+    seq = stacked[:, bs]  # [nc, n-1, L] -> want interleave chunk-major per b
+    seq = jnp.swapaxes(seq, 0, 1).reshape((n - 1) * nc, limb.L)
+    seq = seq[: nc * n - nc - 1]
+    cum = jax.lax.associative_scan(
+        functools.partial(limb.mont_mul, spec), seq, axis=0
+    )
+    z_flat = jnp.concatenate(
+        [limb.zeros((nc,)), limb.one(spec, (1,)), cum], axis=0
+    )  # [nc*n, L]
+
+    nth_map = jnp.asarray(bh.nth_map)  # b -> nth
+    out = []
+    for c in range(nc):
+        z_c = z_flat[nth_map * nc + c]
+        out.append(MLPoly(spec, z_c))
+    return out
+
+
+def prove_zero_check(
+    num_instance_poly: int,
+    expression: Expression,
+    polys: List[MLPoly],
+    challenges: List[Fp],
+    y: List[Fp],
+    transcript: Keccak256Transcript,
+) -> Tuple[List[List[Fp]], List[Evaluation]]:
+    spec = polys[0].spec
+    return prove_sum_check(
+        num_instance_poly,
+        expression,
+        Fp.zero(spec),
+        polys,
+        challenges,
+        y,
+        transcript,
+    )
+
+
+def prove_sum_check(
+    num_instance_poly: int,
+    expression: Expression,
+    sum_: Fp,
+    polys: List[MLPoly],
+    challenges: List[Fp],
+    y: List[Fp],
+    transcript: Keccak256Transcript,
+) -> Tuple[List[List[Fp]], List[Evaluation]]:
+    """Run zero/sum-check then emit per-query rotation evals
+    (prover.rs:347-409)."""
+    spec = polys[0].spec
+    num_vars = polys[0].num_vars
+    vp = VirtualPolynomial(expression, polys, challenges, [y])
+    x, evals = ClassicSumCheck.evaluations().prove(
+        spec, num_vars, vp, sum_, transcript
+    )
+
+    queries = pcs_query(expression, num_instance_poly)
+    offsets = point_offset(queries)
+
+    out_evals = []
+    for query in queries:
+        if query.rotation.value == 0:
+            rotation_evals = [evals[query.poly]]
+        else:
+            rotation_evals = polys[query.poly].evaluate_for_rotation(
+                x, query.rotation
+            )
+        for i, eval_ in enumerate(rotation_evals):
+            out_evals.append(
+                Evaluation(query.poly, offsets[query.rotation] + i, eval_)
+            )
+    transcript.write_field_elements([e.value for e in out_evals])
+    return points(queries, x), out_evals

@@ -220,7 +220,14 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         for j in range(L):
             cols[i + j] = cols[i + j] + lo[..., i, j]
             cols[i + j + 1] = cols[i + j + 1] + hi[..., i, j]
-    # --- Montgomery reduction, one digit at a time ---
+    return _redc(spec, cols)
+
+
+def _redc(spec: FieldSpec, cols: list) -> jnp.ndarray:
+    """Montgomery reduction of a 2L-column lazy number: returns T*R^{-1} mod p.
+
+    `cols` is a list of 2L+1 u32 arrays with lazily-accumulated column values
+    (each < ~2^30); consumed destructively."""
     n0inv = jnp.uint32(spec.n0_inv)
     p_dig = [jnp.uint32(int(d)) for d in spec.p_digits]
     for i in range(L):
@@ -238,6 +245,30 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         cols[i + 1] = cols[i + 1] + (v2 >> W)
     digits = _carry(cols[L:], L)
     return _stack(_cond_sub_p(digits, spec))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def scatter_sum(
+    spec: FieldSpec, terms: jnp.ndarray, idx: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """Modular scatter-add: out[j] = Σ_{i: idx[i]=j} terms[i].
+
+    terms: [..., N, L] Montgomery; idx: [N] int; out: [..., size, L] Montgomery.
+    Digit sums accumulate lazily in u32 lanes (sound for < 2^16 terms per
+    bucket) and are normalized with a single Montgomery reduction + re-scaling
+    — the TPU-native replacement for atomics-based bucket accumulation.
+    """
+    acc = jnp.zeros((*terms.shape[:-2], size, L), dtype=U32)
+    if terms.ndim == 2:
+        acc = acc.at[idx].add(terms)
+    elif terms.ndim == 3:
+        acc = acc.at[:, idx].add(terms)
+    else:
+        raise ValueError(f"unsupported terms rank {terms.ndim}")
+    zero = jnp.zeros_like(acc[..., 0])
+    cols = [acc[..., i] for i in range(L)] + [zero] * (L + 1)
+    canon = _redc(spec, cols)  # (Σ mont terms)*R^{-1} = canonical sum
+    return mont_mul(spec, canon, jnp.asarray(spec.r2_digits))
 
 
 def mont_square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -331,3 +362,14 @@ def batch_inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     right = jnp.concatenate([suffix[1:], one(spec, (1, *a.shape[1:-1]))], axis=0)
     out = mont_mul(spec, mont_mul(spec, left, right), total_inv)
     return jnp.where(z[..., None], jnp.zeros_like(out), out)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def sum_reduce(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Modular sum along axis 0 by pairwise tree reduction (log-depth)."""
+    while a.shape[0] > 1:
+        n = a.shape[0]
+        if n % 2:
+            a = jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
+        a = add(spec, a[0::2], a[1::2])
+    return a[0]

@@ -1,0 +1,89 @@
+"""Vectorized constraint evaluation over the full boolean hypercube.
+
+One memoized AST walk over whole-hypercube limb tensors; rotations become BH
+gathers, Identity becomes a Montgomery-encoded iota, Lagrange(i) a one-hot.
+Used for lookup compression (backend/hyperplonk/prover.rs:79-137 evaluates the
+same thing row-by-row on CPU) and for sanity-checking constraints.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax.numpy as jnp
+
+from ..fields import limb
+from ..fields.host import Fp
+from ..fields.spec import FieldSpec, int_to_digits
+from ..utils.bh import BooleanHypercube
+from ..utils.expression import (
+    EqXY,
+    Expression,
+    Identity,
+    Lagrange,
+)
+
+
+def identity_table(spec: FieldSpec, num_vars: int) -> jnp.ndarray:
+    """Montgomery tensor of f(b) = b over the hypercube."""
+    n = 1 << num_vars
+    b = jnp.arange(n, dtype=jnp.uint32)
+    digits = jnp.stack([b & 0xFFFF, b >> 16], axis=-1)
+    digits = jnp.concatenate(
+        [digits, jnp.zeros((n, limb.L - 2), dtype=jnp.uint32)], axis=-1
+    )
+    return limb.mont_mul(spec, digits, jnp.asarray(int_to_digits(spec.r2_mod_p)))
+
+
+def lagrange_table(spec: FieldSpec, num_vars: int, i: int) -> jnp.ndarray:
+    bh = BooleanHypercube(num_vars)
+    b = int(bh.iter_array[i % (1 << num_vars)])
+    return limb.zeros((1 << num_vars,)).at[b].set(limb.one(spec, ()))
+
+
+def evaluate_on_hypercube(
+    spec: FieldSpec,
+    expression: Expression,
+    num_vars: int,
+    polys: Sequence[jnp.ndarray],
+    challenges: Sequence[Fp],
+    eq_tables: Sequence[jnp.ndarray] = (),
+) -> jnp.ndarray:
+    """Evaluate `expression` at every hypercube point -> [2^k, 16] tensor."""
+    bh = BooleanHypercube(num_vars)
+    rot_cache: Dict[int, jnp.ndarray] = {}
+
+    def rot_map(rot: int) -> jnp.ndarray:
+        if rot not in rot_cache:
+            rot_cache[rot] = jnp.asarray(bh.rotation_map(rot))
+        return rot_cache[rot]
+
+    def common(cp):
+        if isinstance(cp, Identity):
+            return identity_table(spec, num_vars)
+        if isinstance(cp, Lagrange):
+            return lagrange_table(spec, num_vars, cp.i)
+        if isinstance(cp, EqXY):
+            return eq_tables[cp.idx]
+        raise TypeError(cp)
+
+    def poly(q):
+        tbl = polys[q.poly]
+        if q.rotation.value == 0:
+            return tbl
+        return tbl[rot_map(q.rotation.value)]
+
+    return expression.evaluate(
+        lambda c: jnp.broadcast_to(
+            limb.const(spec, int(c)), (1 << num_vars, limb.L)
+        ),
+        common,
+        poly,
+        lambda idx: jnp.broadcast_to(
+            limb.const(spec, int(challenges[idx])), (1 << num_vars, limb.L)
+        ),
+        lambda a: limb.neg(spec, a),
+        lambda a, b: limb.add(spec, a, b),
+        lambda a, b: limb.mont_mul(spec, a, b),
+        lambda a, s: limb.mont_mul(spec, a, limb.const(spec, int(s))),
+    )

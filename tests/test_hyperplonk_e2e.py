@@ -1,0 +1,69 @@
+"""End-to-end HyperPlonk + Brakedown prove/verify round-trips
+(mirrors reference backend.rs:202-241 run_plonkish_backend harness)."""
+
+import random
+
+import pytest
+
+from plonkish_tpu.backend.hyperplonk import HyperPlonk
+from plonkish_tpu.fields import BN254_FR
+from plonkish_tpu.models.circuits import (
+    rand_vanilla_plonk_circuit,
+    rand_vanilla_plonk_with_lookup_circuit,
+)
+from plonkish_tpu.pcs.brakedown import MultilinearBrakedown
+from plonkish_tpu.pcs.brakedown_code import BRAKEDOWN_SPEC_TEST
+from plonkish_tpu.utils.transcript import Keccak256Transcript
+
+SPEC = BN254_FR
+
+
+def run_plonkish_backend(num_vars, circuit_fn):
+    circuit_info, circuit = circuit_fn(num_vars)
+    backend = HyperPlonk(MultilinearBrakedown(SPEC, BRAKEDOWN_SPEC_TEST))
+    param = backend.setup(circuit_info, random.Random(0))
+    pp, vp = backend.preprocess(param, circuit_info)
+
+    transcript = Keccak256Transcript(SPEC)
+    backend.prove(pp, circuit, transcript)
+    proof = transcript.into_proof()
+
+    reader = Keccak256Transcript.from_proof(SPEC, proof)
+    backend.verify(vp, circuit.instances(), reader)
+    return proof
+
+
+@pytest.mark.parametrize("num_vars", [2, 3, 5])
+def test_vanilla_plonk(num_vars):
+    run_plonkish_backend(
+        num_vars,
+        lambda nv: rand_vanilla_plonk_circuit(
+            SPEC, nv, random.Random(1), random.Random(2)
+        ),
+    )
+
+
+@pytest.mark.parametrize("num_vars", [2, 3, 5])
+def test_vanilla_plonk_with_lookup(num_vars):
+    run_plonkish_backend(
+        num_vars,
+        lambda nv: rand_vanilla_plonk_with_lookup_circuit(
+            SPEC, nv, random.Random(3), random.Random(4)
+        ),
+    )
+
+
+def test_corrupted_proof_rejected():
+    circuit_info, circuit = rand_vanilla_plonk_circuit(
+        SPEC, 3, random.Random(5), random.Random(6)
+    )
+    backend = HyperPlonk(MultilinearBrakedown(SPEC, BRAKEDOWN_SPEC_TEST))
+    param = backend.setup(circuit_info, random.Random(0))
+    pp, vp = backend.preprocess(param, circuit_info)
+    transcript = Keccak256Transcript(SPEC)
+    backend.prove(pp, circuit, transcript)
+    proof = bytearray(transcript.into_proof())
+    proof[len(proof) // 2] ^= 1
+    reader = Keccak256Transcript.from_proof(SPEC, bytes(proof))
+    with pytest.raises((ValueError, AssertionError, EOFError)):
+        backend.verify(vp, circuit.instances(), reader)
