@@ -121,7 +121,7 @@ def lookup_h_polys(
         g = limb.const(spec, int(gamma))
         h_input = limb.add(spec, input_poly.evals, g)
         h_table = limb.add(spec, table_poly.evals, g)
-        both = jnp.concatenate([h_input, h_table], axis=0)
+        both = limb.xnp.concatenate([h_input, h_table], axis=0)
         inv = limb.batch_inv(spec, both)
         n = h_input.shape[0]
         h = limb.sub(
@@ -186,23 +186,22 @@ def permutation_z_polys(
         products.append(limb.mont_mul(spec, numer, denom_inv))
 
     bh = BooleanHypercube(num_vars)
-    order = jnp.asarray(bh.iter_array)  # nth -> b
+    xnp = limb.xnp
+    order = xnp.asarray(bh.iter_array)  # nth -> b
 
     # v[t] = products[t % nc][order[1 + t//nc]] for t in 0..nc*n - nc - 1
     nc = num_chunks
-    stacked = jnp.stack(products, axis=0)  # [nc, n, L]
+    stacked = xnp.stack(products, axis=0)  # [nc, n, L]
     bs = order[1:]  # [n-1]
     seq = stacked[:, bs]  # [nc, n-1, L] -> want interleave chunk-major per b
-    seq = jnp.swapaxes(seq, 0, 1).reshape((n - 1) * nc, limb.L)
+    seq = xnp.swapaxes(seq, 0, 1).reshape((n - 1) * nc, limb.L)
     seq = seq[: nc * n - nc - 1]
-    cum = jax.lax.associative_scan(
-        functools.partial(limb.mont_mul, spec), seq, axis=0
-    )
-    z_flat = jnp.concatenate(
+    cum = limb.prefix_mul(spec, seq)
+    z_flat = xnp.concatenate(
         [limb.zeros((nc,)), limb.one(spec, (1,)), cum], axis=0
     )  # [nc*n, L]
 
-    nth_map = jnp.asarray(bh.nth_map)  # b -> nth
+    nth_map = xnp.asarray(bh.nth_map)  # b -> nth
     out = []
     for c in range(nc):
         z_c = z_flat[nth_map * nc + c]

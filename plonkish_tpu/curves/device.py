@@ -1,0 +1,175 @@
+"""Device elliptic-curve point kernels over limb tensors.
+
+Points are homogeneous projective (X:Y:Z) triples of Montgomery limb tensors,
+shape [..., 3, 16].  Addition and doubling use the Renes–Costello *complete*
+formulas for a = 0 curves (eprint 2015/1060 Algs. 7 & 9): branch-free, valid
+for identity/equal/opposite inputs — the property that lets bucket
+accumulation and tree reductions run as pure SIMD with no data-dependent
+control flow (TPUs have no atomics and hate divergence).
+
+Cost: add = 12M + 19A, double = 8M + 12A over the base field.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import limb
+from ..fields.host import Fp
+from .host import AffinePoint
+from .specs import CurveSpec
+
+
+def identity(curve: CurveSpec, shape=()) -> jnp.ndarray:
+    """(0 : 1 : 0) in Montgomery form."""
+    zero = limb.zeros((*shape, 1))
+    one = limb.one(curve.base, (*shape, 1))
+    return limb.xnp.concatenate([zero, one, zero], axis=-2)
+
+
+def from_affine_host(curve: CurveSpec, points) -> jnp.ndarray:
+    """Host AffinePoints -> device projective tensor [N, 3, 16]."""
+    xs, ys, zs = [], [], []
+    for p in points:
+        if p.is_identity():
+            xs.append(0)
+            ys.append(1)
+            zs.append(0)
+        else:
+            xs.append(int(p.x))
+            ys.append(int(p.y))
+            zs.append(1)
+    spec = curve.base
+    x = limb.to_mont(spec, limb.from_ints(xs))
+    y = limb.to_mont(spec, limb.from_ints(ys))
+    z = limb.to_mont(spec, limb.from_ints(zs))
+    return limb.xnp.stack([x, y, z], axis=-2)
+
+
+def to_affine_host(curve: CurveSpec, points: jnp.ndarray):
+    """Device projective tensor -> host AffinePoints (batch inversion)."""
+    spec = curve.base
+    flat = points.reshape(-1, 3, limb.L)
+    z = flat[:, 2]
+    zinv = limb.batch_inv(spec, z)
+    x = limb.mont_mul(spec, flat[:, 0], zinv)
+    y = limb.mont_mul(spec, flat[:, 1], zinv)
+    xs = limb.to_ints(limb.from_mont(spec, x))
+    ys = limb.to_ints(limb.from_mont(spec, y))
+    zzero = limb.to_ints(z)
+    out = []
+    for xi, yi, zi in zip(xs, ys, zzero):
+        if int(zi) == 0:
+            out.append(AffinePoint.identity(curve))
+        else:
+            out.append(
+                AffinePoint(curve, Fp(int(xi), spec), Fp(int(yi), spec))
+            )
+    return out
+
+
+def padd(curve: CurveSpec, p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    if limb.IS_CPP:
+        from ..ops import field_cpp as _cpp
+
+        return _cpp.ec_padd(curve, p, q)
+    return _padd_jax(curve, p, q)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _padd_jax(curve: CurveSpec, p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Complete projective addition (RCB16 Alg. 7, a=0)."""
+    spec = curve.base
+    mul = functools.partial(limb._mont_mul_jax, spec)
+    add = functools.partial(limb._add_jax, spec)
+    sub = functools.partial(limb._sub_jax, spec)
+    b3 = limb.const(spec, curve.b3)
+
+    x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    x2, y2, z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
+
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t2 = mul(z1, z2)
+    t3 = mul(add(x1, y1), add(x2, y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mul(add(y1, z1), add(y2, z2))
+    t4 = sub(t4, add(t1, t2))
+    x3 = mul(add(x1, z1), add(x2, z2))
+    y3 = sub(x3, add(t0, t2))
+    x3 = add(add(t0, t0), t0)
+    t2 = mul(b3, t2)
+    z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = mul(b3, y3)
+    x3_out = sub(mul(t3, t1), mul(t4, y3))
+    y3_out = add(mul(y3, x3), mul(t1, z3))
+    z3_out = add(mul(z3, t4), mul(x3, t3))
+    return jnp.stack([x3_out, y3_out, z3_out], axis=-2)
+
+
+def pdbl(curve: CurveSpec, p: jnp.ndarray) -> jnp.ndarray:
+    if limb.IS_CPP:
+        from ..ops import field_cpp as _cpp
+
+        return _cpp.ec_pdbl(curve, p)
+    return _pdbl_jax(curve, p)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _pdbl_jax(curve: CurveSpec, p: jnp.ndarray) -> jnp.ndarray:
+    """Complete projective doubling (RCB16 Alg. 9, a=0)."""
+    spec = curve.base
+    mul = functools.partial(limb._mont_mul_jax, spec)
+    add = functools.partial(limb._add_jax, spec)
+    sub = functools.partial(limb._sub_jax, spec)
+    b3 = limb.const(spec, curve.b3)
+
+    x, y, z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    t0 = mul(y, y)
+    z3 = add(t0, t0)
+    z3 = add(z3, z3)
+    z3 = add(z3, z3)
+    t1 = mul(y, z)
+    t2 = mul(z, z)
+    t2 = mul(b3, t2)
+    x3 = mul(t2, z3)
+    y3 = add(t0, t2)
+    z3 = mul(t1, z3)
+    t1 = add(t2, t2)
+    t2 = add(t1, t2)
+    t0 = sub(t0, t2)
+    y3 = mul(t0, y3)
+    y3 = add(x3, y3)
+    t1 = mul(x, y)
+    x3 = mul(t0, t1)
+    x3 = add(x3, x3)
+    return jnp.stack([x3, y3, z3], axis=-2)
+
+
+def tree_sum(curve: CurveSpec, points: jnp.ndarray) -> jnp.ndarray:
+    if limb.IS_CPP:
+        from ..ops import field_cpp as _cpp
+
+        return _cpp.ec_sum(curve, points)
+    return _tree_sum_jax(curve, points)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _tree_sum_jax(curve: CurveSpec, points: jnp.ndarray) -> jnp.ndarray:
+    """Sum along axis 0 by pairwise complete-add tree reduction."""
+    while points.shape[0] > 1:
+        n = points.shape[0]
+        if n % 2:
+            pad = identity(curve, (1,))
+            points = jnp.concatenate([points, pad], axis=0)
+        points = _padd_jax(curve, points[0::2], points[1::2])
+    return points[0]
+
+
+def select(mask, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Where mask (shape [...]) pick point a else b."""
+    return limb.xnp.where(mask[..., None, None], a, b)

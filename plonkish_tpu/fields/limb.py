@@ -11,12 +11,23 @@ Representation
 A field element batch has shape `[..., NUM_DIGITS]`, dtype uint32, little
 endian, each lane holding a digit `< 2^16`, value in **Montgomery form**
 (`x * R mod p`, `R = 2^256`).  All partial products of two digits fit exactly
-in a uint32 lane ((2^16-1)^2 < 2^32) and schoolbook column sums stay below
-2^22, so no 64-bit arithmetic is ever required — this is the property that
-makes the layout TPU-native (the VPU has no u64 multiplier).
+in a uint32 lane ((2^16-1)^2 < 2^32) and anti-diagonal column sums stay below
+2^22, so no 64-bit arithmetic is ever required — the layout is TPU-native
+(the VPU has no u64 multiplier).
 
-Every function is pure and jit-safe; digit loops are Python-level and unroll
-at trace time into a fixed op DAG that XLA fuses.
+Kernel design (compile-time and VPU-width friendly — every step is a *tensor*
+op along the digit axis, never a per-digit Python loop):
+
+- digit products:  one [.., L, L] broadcast multiply, lo/hi split, and a
+  single gather+masked-sum producing all 2L anti-diagonal column sums;
+- carry/borrow propagation:  Kogge–Stone parallel prefix over
+  (generate, propagate) bits — log2(L) levels of shifts and boolean algebra
+  instead of an L-step ripple;
+- Montgomery reduction:  one-shot REDC.  With p' = -p^{-1} mod R the whole
+  reduction is M = (T mod R)·p' mod R (a low-half product) followed by
+  (T + M·p)/R — two more anti-diagonal products, no digit-serial loop.
+
+A full mont_mul is ~100 XLA ops regardless of batch size.
 """
 
 from __future__ import annotations
@@ -34,13 +45,46 @@ L = NUM_DIGITS
 W = DIGIT_BITS
 MASK = DIGIT_MASK
 
+# ---------------------------------------------------------------------------
+# Execution backend
+# ---------------------------------------------------------------------------
+# "jax"  — XLA tensors (the TPU path; also runs on CPU for kernel tests)
+# "cpp"  — native host runtime (plonkish_tpu/ops/field_native.cpp) over numpy
+#          arrays with the identical uint32[...,16] layout.  Selected via the
+#          PLONKISH_TPU_BACKEND env var at import time; protocol code is
+#          backend-agnostic through `xnp` and the ops below.
+import os as _os
+
+BACKEND = _os.environ.get("PLONKISH_TPU_BACKEND", "jax")
+IS_CPP = BACKEND == "cpp"
+if IS_CPP:
+    from ..ops import field_cpp as _cpp
+
+xnp = np if IS_CPP else jnp
+
+
+def maybe_jit(fun=None, **jit_kwargs):
+    """jax.jit in jax mode; identity in cpp mode."""
+    def wrap(f):
+        return f if IS_CPP else jax.jit(f, **jit_kwargs)
+    return wrap(fun) if fun is not None else wrap
+
+
+def set_index(arr, idx, value):
+    """arr with arr[idx] = value (functional on jax, in-place copy on numpy)."""
+    if IS_CPP:
+        out = np.array(arr)
+        out[idx] = value
+        return out
+    return arr.at[idx].set(value)
+
 
 # ---------------------------------------------------------------------------
 # Conversions
 # ---------------------------------------------------------------------------
 
 def zeros(shape=()) -> jnp.ndarray:
-    return jnp.zeros((*shape, L), dtype=U32)
+    return xnp.zeros((*shape, L), dtype=np.uint32)
 
 
 def from_ints(values, spec: FieldSpec | None = None) -> jnp.ndarray:
@@ -50,7 +94,8 @@ def from_ints(values, spec: FieldSpec | None = None) -> jnp.ndarray:
     out = np.empty((flat.size, L), dtype=np.uint32)
     for i, v in enumerate(flat.tolist()):
         out[i] = int_to_digits(int(v))
-    return jnp.asarray(out.reshape(*values.shape, L))
+    out = out.reshape(*values.shape, L)
+    return out if IS_CPP else jnp.asarray(out)
 
 
 def to_ints(digits) -> np.ndarray:
@@ -74,201 +119,213 @@ def const(spec: FieldSpec, value: int, mont: bool = True) -> jnp.ndarray:
     v = value % spec.p
     if mont:
         v = spec.to_mont(v)
-    return jnp.asarray(int_to_digits(v))
+    d = int_to_digits(v)
+    return d if IS_CPP else jnp.asarray(d)
+
+
+def one(spec: FieldSpec, shape=()) -> jnp.ndarray:
+    """Montgomery-form 1 broadcast to shape."""
+    if IS_CPP:
+        return np.ascontiguousarray(
+            np.broadcast_to(spec.r_digits, (*shape, L))
+        )
+    return jnp.broadcast_to(jnp.asarray(spec.r_digits), (*shape, L))
 
 
 # ---------------------------------------------------------------------------
-# Digit plumbing
+# Digit-axis plumbing (all tensor ops, no per-digit loops)
 # ---------------------------------------------------------------------------
 
-def _carry(cols: list, n_out: int) -> list:
-    """Propagate carries over lazily-accumulated u32 columns -> exact digits.
+def _shift_up(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Along the last axis: out[i] = x[i-s] (zero fill below)."""
+    if s == 0:
+        return x
+    n = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(s, 0)]
+    return jnp.pad(x, pad)[..., :n]
 
-    `cols` is a list of [...]-shaped u32 arrays (one per column, values may
-    exceed 2^16 but stay < 2^32).  Returns `n_out` exact digits; any final
-    carry is dropped (callers guarantee it is zero).
+
+def _prefix_carry(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Kogge–Stone: carry INTO each position given per-position generate g
+    and propagate p bits (uint32 0/1).  c[i] = OR_{j<i} (g[j] & AND p[j+1..i-1])."""
+    n = g.shape[-1]
+    G, P = g, p
+    s = 1
+    while s < n:
+        G = G | (P & _shift_up(G, s))
+        P = P & _shift_up(P, s)
+        s <<= 1
+    return _shift_up(G, 1)
+
+
+def _normalize(x: jnp.ndarray, relax_rounds: int) -> jnp.ndarray:
+    """Lazy u32 columns -> exact digits (< 2^16) along the last axis.
+
+    `relax_rounds` shift-add rounds bring every lane to <= 2^16, then one
+    Kogge–Stone pass resolves the remaining single-bit ripple.  Top carries
+    beyond the last lane are dropped (callers size the tensor so they are 0).
     """
-    out = []
-    carry = None
-    for k in range(n_out):
-        v = cols[k] if k < len(cols) else jnp.zeros_like(cols[0])
-        if carry is not None:
-            v = v + carry
-        out.append(v & MASK)
-        carry = v >> W
-    return out
+    for _ in range(relax_rounds):
+        x = (x & MASK) + _shift_up(x >> W, 1)
+    # now each lane <= 2^16: treat lane == 2^16 as generate
+    g = x >> W
+    p = ((x & MASK) == MASK).astype(U32)
+    c = _prefix_carry(g, p)
+    return (x + c) & MASK
 
 
-def _stack(cols: list) -> jnp.ndarray:
-    return jnp.stack(cols, axis=-1)
+def _sub_borrow(a: jnp.ndarray, b: jnp.ndarray):
+    """Exact digit tensors: returns (a-b digits, borrow_out bit [.., ])."""
+    d = a + jnp.uint32(MASK + 1) - b  # in [1, 2^17-1]
+    g = (d >> W) ^ 1  # borrow generated at this lane
+    p = ((d & MASK) == 0).astype(U32)
+    c = _prefix_carry(g, p)
+    digits = (d - c) & MASK
+    last = (g[..., -1] | (p[..., -1] & c[..., -1]))
+    return digits, last
 
 
-def _unstack(x: jnp.ndarray) -> list:
-    return [x[..., i] for i in range(x.shape[-1])]
+def _add_carry(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact digit tensors -> exact digits of a+b (carry out dropped;
+    callers guarantee headroom in the top lane)."""
+    s = a + b
+    g = s >> W
+    p = ((s & MASK) == MASK).astype(U32)
+    c = _prefix_carry(g, p)
+    return (s + c) & MASK
 
 
-def _sub_digits(a_cols: list, b_digits: np.ndarray):
-    """a - b over digit lists. Returns (diff digits list, borrow_out [...])."""
-    out = []
-    borrow = None
+def _cond_sub_p(x: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    diff, borrow = _sub_borrow(x, jnp.asarray(spec.p_digits))
+    keep = (borrow != 0)[..., None]  # borrow => x < p
+    return jnp.where(keep, x, diff)
+
+
+@functools.lru_cache(maxsize=8)
+def _antidiag_index(n_in: int):
+    """Precomputed gather indices/mask for anti-diagonal sums of an
+    [.., n_in(i), n_in(j)] product block into 2*n_in columns."""
+    idx = np.zeros((n_in, 2 * n_in), dtype=np.int32)
+    mask = np.zeros((n_in, 2 * n_in), dtype=np.uint32)
+    for i in range(n_in):
+        for k in range(2 * n_in):
+            j = k - i
+            if 0 <= j < n_in:
+                idx[i, k] = j
+                mask[i, k] = 1
+    return idx, mask
+
+
+def _mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Digit tensors [.., L] x [.., L] -> lazy column sums [.., 2L+1]
+    (each lane < 2^22).
+
+    Anti-diagonal sums built from L statically-shifted row copies — pure
+    pads/adds, no gathers (XLA CPU gathers serialize; TPU prefers shifts too).
+    """
+    prod = a[..., :, None] * b[..., None, :]  # [.., L, L]
+    lo = prod & MASK
+    hi = prod >> W
+    nd = prod.ndim
+    acc = None
     for i in range(L):
-        v = a_cols[i] + jnp.uint32(MASK + 1) - jnp.uint32(int(b_digits[i]))
-        if borrow is not None:
-            v = v - borrow
-        out.append(v & MASK)
-        borrow = 1 - (v >> W)
-    return out, borrow
+        # row i of lo contributes to cols i..i+L-1; row i of hi to i+1..i+L
+        r = jnp.pad(lo[..., i, :], [(0, 0)] * (nd - 2) + [(i, L + 1 - i)])
+        acc = r if acc is None else acc + r
+        acc = acc + jnp.pad(
+            hi[..., i, :], [(0, 0)] * (nd - 2) + [(i + 1, L - i)]
+        )
+    return acc
 
 
-def _cond_sub_p(cols: list, spec: FieldSpec) -> list:
-    """If value >= p subtract p (branch-free select)."""
-    diff, borrow = _sub_digits(cols, spec.p_digits)
-    keep = (borrow != 0)  # borrow => value < p => keep original
-    return [jnp.where(keep, a, d) for a, d in zip(cols, diff)]
+def _mul_low(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Low L columns of the digit product, lazily accumulated [.., L]."""
+    return _mul_columns(a, b)[..., :L]
 
 
 # ---------------------------------------------------------------------------
-# Add / sub / neg
+# Field ops
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=0)
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    a, b = jnp.broadcast_arrays(a, b)
-    cols = [a[..., i] + b[..., i] for i in range(L)]
-    cols = _carry(cols, L)  # a+b < 2p < 2^256, no overflow out of digit 15
-    return _stack(_cond_sub_p(cols, spec))
+    if IS_CPP:
+        return _cpp.add(spec, a, b)
+    return _add_jax(spec, a, b)
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def _add_jax(spec, a, b):
+    a, b = jnp.broadcast_arrays(a, b)
+    return _cond_sub_p(_add_carry(a, b), spec)
+
+
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    a, b = jnp.broadcast_arrays(a, b)
-    out = []
-    borrow = None
-    for i in range(L):
-        v = a[..., i] + jnp.uint32(MASK + 1) - b[..., i]
-        if borrow is not None:
-            v = v - borrow
-        out.append(v & MASK)
-        borrow = 1 - (v >> W)
-    # If borrow: result is negative, add p back.
-    add_back = []
-    carry = None
-    for i in range(L):
-        v = out[i] + jnp.uint32(int(spec.p_digits[i]))
-        if carry is not None:
-            v = v + carry
-        add_back.append(v & MASK)
-        carry = v >> W
-    need = (borrow != 0)
-    return _stack([jnp.where(need, pb, o) for o, pb in zip(out, add_back)])
+    if IS_CPP:
+        return _cpp.sub(spec, a, b)
+    return _sub_jax(spec, a, b)
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def _sub_jax(spec, a, b):
+    a, b = jnp.broadcast_arrays(a, b)
+    diff, borrow = _sub_borrow(a, b)
+    wrapped = _add_carry(diff, jnp.asarray(spec.p_digits))
+    return jnp.where((borrow != 0)[..., None], wrapped, diff)
+
+
 def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    # p - a, with 0 -> 0.
-    diff, _ = [], None
-    out = []
-    borrow = None
-    for i in range(L):
-        v = jnp.uint32(int(spec.p_digits[i])) + jnp.uint32(MASK + 1) - a[..., i]
-        if borrow is not None:
-            v = v - borrow
-        out.append(v & MASK)
-        borrow = 1 - (v >> W)
+    if IS_CPP:
+        return _cpp.neg(spec, a)
+    return _neg_jax(spec, a)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _neg_jax(spec, a):
+    diff, _ = _sub_borrow(jnp.asarray(spec.p_digits) + jnp.zeros_like(a), a)
     z = is_zero(a)
-    return _stack([jnp.where(z, jnp.zeros_like(o), o) for o in out])
+    return jnp.where(z[..., None], jnp.zeros_like(diff), diff)
 
 
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    acc = a[..., 0]
-    for i in range(1, L):
-        acc = acc | a[..., i]
-    return acc == 0
+    return xnp.all(a == 0, axis=-1)
 
 
 def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    acc = a[..., 0] ^ b[..., 0]
-    for i in range(1, L):
-        acc = acc | (a[..., i] ^ b[..., i])
-    return acc == 0
+    return xnp.all(a == b, axis=-1)
 
 
-# ---------------------------------------------------------------------------
-# Montgomery multiplication
-# ---------------------------------------------------------------------------
+def redc(spec: FieldSpec, t_lazy: jnp.ndarray, relax_rounds: int = 2) -> jnp.ndarray:
+    """One-shot Montgomery reduction of a lazy 2L(+1)-column value T:
+    returns T·R^{-1} mod p as exact digits.
+
+    M = (T mod R)·p' mod R with p' = -p^{-1} mod R, result = (T + M·p)/R.
+    """
+    width = t_lazy.shape[-1]
+    assert width in (2 * L, 2 * L + 1)
+    if width == 2 * L:
+        t_lazy = jnp.pad(t_lazy, [(0, 0)] * (t_lazy.ndim - 1) + [(0, 1)])
+    t = _normalize(t_lazy, relax_rounds)  # [.., 2L+1] exact
+    m = _normalize(
+        _mul_low(t[..., :L], jnp.asarray(spec.p_prime_digits) + jnp.zeros_like(t[..., :L])),
+        2,
+    )
+    mp = _mul_columns(m, jnp.asarray(spec.p_digits) + jnp.zeros_like(m))
+    u = _normalize(t + mp, 2)  # [.., 2L+1]; low L lanes are zero
+    # (T + M·p)/R < 2p < 2^255, so lane 2L is 0 after normalization
+    return _cond_sub_p(u[..., L: 2 * L], spec)
+
+
+def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product a*b*R^{-1} mod p over digit tensors."""
+    if IS_CPP:
+        return _cpp.mul(spec, a, b)
+    return _mont_mul_jax(spec, a, b)
+
 
 @functools.partial(jax.jit, static_argnums=0)
-def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product a*b*R^{-1} mod p over digit tensors.
-
-    Schoolbook product with lo/hi 16-bit splitting (every digit product fits a
-    u32 lane) followed by digit-serial Montgomery reduction in base 2^16.
-    The unrolled op DAG is fused by XLA into a single elementwise kernel over
-    the batch axes.
-    """
+def _mont_mul_jax(spec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
-    # --- full product into 2L lazy columns (each < 2^21) ---
-    prod = a[..., :, None] * b[..., None, :]  # [..., L, L] u32
-    lo = prod & MASK
-    hi = prod >> W
-    ncols = 2 * L + 1
-    cols = [None] * ncols
-    zero = jnp.zeros_like(a[..., 0])
-    for k in range(ncols):
-        cols[k] = zero
-    for i in range(L):
-        for j in range(L):
-            cols[i + j] = cols[i + j] + lo[..., i, j]
-            cols[i + j + 1] = cols[i + j + 1] + hi[..., i, j]
-    return _redc(spec, cols)
-
-
-def _redc(spec: FieldSpec, cols: list) -> jnp.ndarray:
-    """Montgomery reduction of a 2L-column lazy number: returns T*R^{-1} mod p.
-
-    `cols` is a list of 2L+1 u32 arrays with lazily-accumulated column values
-    (each < ~2^30); consumed destructively."""
-    n0inv = jnp.uint32(spec.n0_inv)
-    p_dig = [jnp.uint32(int(d)) for d in spec.p_digits]
-    for i in range(L):
-        v = cols[i]
-        cols[i + 1] = cols[i + 1] + (v >> W)
-        d = v & MASK
-        cols[i] = d
-        m = (d * n0inv) & MASK
-        for j in range(L):
-            mp = m * p_dig[j]
-            cols[i + j] = cols[i + j] + (mp & MASK)
-            cols[i + j + 1] = cols[i + j + 1] + (mp >> W)
-        # column i is now ≡ 0 mod 2^16; push its carry and retire it
-        v2 = cols[i]
-        cols[i + 1] = cols[i + 1] + (v2 >> W)
-    digits = _carry(cols[L:], L)
-    return _stack(_cond_sub_p(digits, spec))
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def scatter_sum(
-    spec: FieldSpec, terms: jnp.ndarray, idx: jnp.ndarray, size: int
-) -> jnp.ndarray:
-    """Modular scatter-add: out[j] = Σ_{i: idx[i]=j} terms[i].
-
-    terms: [..., N, L] Montgomery; idx: [N] int; out: [..., size, L] Montgomery.
-    Digit sums accumulate lazily in u32 lanes (sound for < 2^16 terms per
-    bucket) and are normalized with a single Montgomery reduction + re-scaling
-    — the TPU-native replacement for atomics-based bucket accumulation.
-    """
-    acc = jnp.zeros((*terms.shape[:-2], size, L), dtype=U32)
-    if terms.ndim == 2:
-        acc = acc.at[idx].add(terms)
-    elif terms.ndim == 3:
-        acc = acc.at[:, idx].add(terms)
-    else:
-        raise ValueError(f"unsupported terms rank {terms.ndim}")
-    zero = jnp.zeros_like(acc[..., 0])
-    cols = [acc[..., i] for i in range(L)] + [zero] * (L + 1)
-    canon = _redc(spec, cols)  # (Σ mont terms)*R^{-1} = canonical sum
-    return mont_mul(spec, canon, jnp.asarray(spec.r2_digits))
+    return redc(spec, _mul_columns(a, b))
 
 
 def mont_square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -276,30 +333,37 @@ def mont_square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def to_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    return mont_mul(spec, a, jnp.asarray(spec.r2_digits))
+    r2 = spec.r2_digits if IS_CPP else jnp.asarray(spec.r2_digits)
+    return mont_mul(spec, a, r2)
 
 
 def from_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    one = jnp.zeros((L,), dtype=U32).at[0].set(1)
-    return mont_mul(spec, a, one)
-
-
-def one(spec: FieldSpec, shape=()) -> jnp.ndarray:
-    """Montgomery-form 1 broadcast to shape."""
-    return jnp.broadcast_to(jnp.asarray(spec.r_digits), (*shape, L))
+    one_ = np.zeros((L,), dtype=np.uint32)
+    one_[0] = 1
+    if not IS_CPP:
+        one_ = jnp.asarray(one_)
+    return mont_mul(spec, a, one_)
 
 
 # ---------------------------------------------------------------------------
 # Exponentiation / inversion
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
 def pow_const(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
+    if IS_CPP:
+        assert e >= 0
+        if e == 0:
+            return one(spec, a.shape[:-1])
+        return _cpp.pow_const(spec, a, e)
+    return _pow_const_jax(spec, a, e)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _pow_const_jax(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     """a^e for a fixed Python-int exponent.
 
     Small exponents unroll; large ones run an MSB-first square-and-multiply
-    `lax.scan` over the exponent bits so `mont_mul` is traced only twice
-    (compile-time matters: one mont_mul is ~10^3 XLA ops).
+    `lax.scan` over the exponent bits so mont_mul is traced only twice.
     """
     assert e >= 0
     if e == 0:
@@ -309,10 +373,10 @@ def pow_const(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
         base = a
         while e:
             if e & 1:
-                result = base if result is None else mont_mul(spec, result, base)
+                result = base if result is None else _mont_mul_jax(spec, result, base)
             e >>= 1
             if e:
-                base = mont_square(spec, base)
+                base = _mont_mul_jax(spec, base, base)
         return result
 
     nbits = e.bit_length()
@@ -321,8 +385,8 @@ def pow_const(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     )
 
     def body(acc, bit):
-        acc = mont_square(spec, acc)
-        with_mul = mont_mul(spec, acc, a)
+        acc = _mont_mul_jax(spec, acc, acc)
+        with_mul = _mont_mul_jax(spec, acc, a)
         acc = jnp.where((bit != 0)[..., None], with_mul, acc)
         return acc, None
 
@@ -331,45 +395,189 @@ def pow_const(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Fermat inverse a^{p-2}; maps 0 to 0."""
-    return pow_const(spec, a, spec.p - 2)
+    if IS_CPP:
+        return _cpp.pow_const(spec, a, spec.p - 2)
+    return _inv_jax(spec, a)
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def _inv_jax(spec, a):
+    return _pow_const_jax(spec, a, spec.p - 2)
+
+
+def prefix_mul(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    if IS_CPP:
+        return _cpp.prefix_mul(spec, a)
+    return _prefix_mul_jax(spec, a)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _prefix_mul_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix product along axis 0.
+
+    Two-level `lax.scan` (within √n-sized groups, then across group totals):
+    the multiply body is traced exactly twice, keeping compile time flat while
+    runtime stays ~2√n sequential vector multiplies.  Replaces the reference's
+    serial running products (prover.rs:307-323) and is the building block for
+    batched inversion."""
+    n = a.shape[0]
+    if n == 1:
+        return a
+    k = 1 << max(1, (n.bit_length() // 2))
+    g = -(-n // k)
+    pad = g * k - n
+    if pad:
+        a = jnp.concatenate([a, one(spec, (pad, *a.shape[1:-1]))], axis=0)
+    grouped = a.reshape(g, k, *a.shape[1:])
+    grouped = jnp.moveaxis(grouped, 1, 0)  # [k, g, ..., L]
+
+    def body(carry, x):
+        new = _mont_mul_jax(spec, carry, x)
+        return new, new
+
+    _, incl = jax.lax.scan(body, one(spec, grouped.shape[1:-1]), grouped)
+    totals = incl[-1]  # [g, ..., L]
+
+    def body2(carry, x):
+        new = _mont_mul_jax(spec, carry, x)
+        return new, carry  # exclusive prefix of group totals
+
+    _, group_excl = jax.lax.scan(body2, one(spec, totals.shape[1:-1]), totals)
+    out = _mont_mul_jax(spec, incl, group_excl[None])  # [k, g, ..., L]
+    out = jnp.moveaxis(out, 0, 1).reshape(g * k, *a.shape[1:])
+    return out[:n]
+
+
 def batch_inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    if IS_CPP:
+        shape = a.shape
+        return _cpp.inv_batch(spec, a.reshape(-1, L)).reshape(shape)
+    return _batch_inv_jax(spec, a)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _batch_inv_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Batched inversion along the leading axis via Montgomery's trick.
 
     Replaces the reference's `BatchInvert` chunked loops
     (/root/reference/plonkish_backend/src/backend/hyperplonk/prover.rs:226-234)
-    with two log-depth prefix/suffix product scans — the TPU-native shape of
-    the same O(1) multiplications-per-inverse trick.  Zeros map to zero.
+    with prefix/suffix product scans + one Fermat inversion of the grand
+    total.  Zeros map to zero.
     """
     assert a.ndim >= 2
     n = a.shape[0]
     if n == 1:
-        return inv(spec, a)
+        return _inv_jax(spec, a)
     z = is_zero(a)
     safe = jnp.where(z[..., None], one(spec, a.shape[:-1]), a)
 
-    mul = functools.partial(mont_mul, spec)
-    prefix = jax.lax.associative_scan(mul, safe, axis=0)
-    suffix = jax.lax.associative_scan(mul, safe, axis=0, reverse=True)
-    total_inv = inv(spec, prefix[-1:])  # [1, ..., L]
+    prefix = _prefix_mul_jax(spec, safe)
+    suffix = _prefix_mul_jax(spec, safe[::-1])[::-1]
+    total_inv = _inv_jax(spec, prefix[-1:])  # [1, ..., L]
 
     left = jnp.concatenate([one(spec, (1, *a.shape[1:-1])), prefix[:-1]], axis=0)
     right = jnp.concatenate([suffix[1:], one(spec, (1, *a.shape[1:-1]))], axis=0)
-    out = mont_mul(spec, mont_mul(spec, left, right), total_inv)
+    out = _mont_mul_jax(spec, _mont_mul_jax(spec, left, right), total_inv)
     return jnp.where(z[..., None], jnp.zeros_like(out), out)
 
 
-@functools.partial(jax.jit, static_argnums=0)
+# ---------------------------------------------------------------------------
+# Reductions
+# ---------------------------------------------------------------------------
+
 def sum_reduce(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """Modular sum along axis 0 by pairwise tree reduction (log-depth)."""
+    if IS_CPP:
+        return _cpp.sum_reduce(spec, a)
+    return _sum_reduce_jax(spec, a)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _sum_reduce_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Modular sum along axis 0: lazy u32 digit accumulation in chunks small
+    enough to avoid overflow, then one REDC-based normalization.
+
+    Σ of Montgomery values stays Montgomery: REDC(Σ)·R² ≡ Σ mod p.
+    """
+    n = a.shape[0]
+    if n == 1:
+        return a[0]
+    # lazy sum: each digit < 2^16, so up to 2^16 terms fit in u32
+    chunk = 1 << 15
     while a.shape[0] > 1:
-        n = a.shape[0]
-        if n % 2:
-            a = jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
-        a = add(spec, a[0::2], a[1::2])
+        take = min(chunk, a.shape[0])
+        pad = (-a.shape[0]) % take
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad, *a.shape[1:]), dtype=U32)], axis=0
+            )
+        lazy = jnp.sum(
+            a.reshape(-1, take, *a.shape[1:]), axis=1, dtype=U32
+        )  # [.., L] lanes < 2^31
+        width_pad = [(0, 0)] * (lazy.ndim - 1) + [(0, L + 1)]
+        canon = redc(spec, jnp.pad(lazy, width_pad), relax_rounds=3)
+        a = _mont_mul_jax(spec, canon, jnp.asarray(spec.r2_digits))
     return a[0]
+
+
+def scatter_sum(
+    spec: FieldSpec, terms: jnp.ndarray, idx: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    if IS_CPP:
+        return _cpp.scatter_sum(spec, terms, idx, size)
+    return _scatter_sum_jax(spec, terms, idx, size)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _scatter_sum_jax(
+    spec: FieldSpec, terms: jnp.ndarray, idx: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """Modular scatter-add: out[j] = Σ_{i: idx[i]=j} terms[i].
+
+    terms: [..., N, L] Montgomery; idx: [N] int; out: [..., size, L] Montgomery.
+    Digit lanes accumulate lazily in u32 (sound for < 2^16 terms per bucket),
+    then one REDC + rescale restores Montgomery form — the TPU-native
+    replacement for atomics-based bucket accumulation.
+    """
+    acc = jnp.zeros((*terms.shape[:-2], size, L), dtype=U32)
+    if terms.ndim == 2:
+        acc = acc.at[idx].add(terms)
+    elif terms.ndim == 3:
+        acc = acc.at[:, idx].add(terms)
+    else:
+        raise ValueError(f"unsupported terms rank {terms.ndim}")
+    width_pad = [(0, 0)] * (acc.ndim - 1) + [(0, L + 1)]
+    canon = redc(spec, jnp.pad(acc, width_pad), relax_rounds=3)
+    return _mont_mul_jax(spec, canon, jnp.asarray(spec.r2_digits))
+
+
+# ---------------------------------------------------------------------------
+# Fused multilinear folds (the sum-check/fix_var inner loops)
+# ---------------------------------------------------------------------------
+
+def fold_halves(spec: FieldSpec, lo, hi, x):
+    """out = (hi - lo) * x + lo, elementwise."""
+    if IS_CPP:
+        return _cpp.fold_halves(spec, lo, hi, x)
+    return _fold_halves_jax(spec, lo, hi, x)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fold_halves_jax(spec, lo, hi, x):
+    return _add_jax(spec, _mont_mul_jax(spec, _sub_jax(spec, hi, lo), x), lo)
+
+
+def fold_pairs(spec: FieldSpec, evals, x):
+    """out[i] = (e[2i+1] - e[2i]) * x + e[2i]  (multilinear fix_var kernel,
+    /root/reference/plonkish_backend/src/poly/multilinear.rs:599-618)."""
+    if IS_CPP:
+        return _cpp.fix_var(spec, evals, x)
+    return _fold_pairs_jax(spec, evals, x)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fold_pairs_jax(spec, evals, x):
+    n = evals.shape[0]
+    pairs = evals.reshape(n // 2, 2, -1)
+    return _fold_halves_jax(spec, pairs[:, 0], pairs[:, 1], x)

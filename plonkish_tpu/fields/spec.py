@@ -72,6 +72,15 @@ class FieldSpec:
         return (-pow(self.p, -1, 1 << DIGIT_BITS)) % (1 << DIGIT_BITS)
 
     @functools.cached_property
+    def p_prime(self) -> int:
+        """-p^{-1} mod R (full-width Montgomery factor for one-shot REDC)."""
+        return (-pow(self.p, -1, R)) % R
+
+    @functools.cached_property
+    def p_prime_digits(self) -> np.ndarray:
+        return int_to_digits(self.p_prime)
+
+    @functools.cached_property
     def p_digits(self) -> np.ndarray:
         return int_to_digits(self.p)
 

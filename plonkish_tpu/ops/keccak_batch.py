@@ -9,8 +9,6 @@ from __future__ import annotations
 
 from typing import List
 
-from ..utils.keccak import keccak256
-
 _native = None
 _native_tried = False
 
@@ -33,4 +31,6 @@ def keccak256_many(blobs: List[bytes]) -> List[bytes]:
     native = _load_native()
     if native is not None:
         return native.keccak256_many(blobs)
+    from ..utils.keccak import keccak256
+
     return [keccak256(b) for b in blobs]

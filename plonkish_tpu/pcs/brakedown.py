@@ -227,19 +227,12 @@ class MultilinearBrakedown:
                 if item != encoded[column]:
                     raise ValueError("Proximity failure")
 
-            h = Keccak256()
-            for it in items:
-                h.update(it.to_repr())
-            output = h.finalize_reset()
+            output = _hash_many([b"".join(it.to_repr() for it in items)])[0]
             for idx, neighbor in enumerate(path):
-                h2 = Keccak256()
                 if (column >> idx) & 1 == 0:
-                    h2.update(output)
-                    h2.update(neighbor)
+                    output = _hash_many([output + neighbor])[0]
                 else:
-                    h2.update(neighbor)
-                    h2.update(output)
-                output = h2.digest()
+                    output = _hash_many([neighbor + output])[0]
             if output != comm.root:
                 raise ValueError("Invalid merkle tree opening")
 

@@ -151,8 +151,8 @@ class SparseMatrix:
                 rows.append(row)
                 cols.append(col)
                 coeffs.append(rng.randrange(spec.p))
-        self.rows = jnp.asarray(np.asarray(rows, dtype=np.int32))
-        self.cols = jnp.asarray(np.asarray(cols, dtype=np.int32))
+        self.rows = limb.xnp.asarray(np.asarray(rows, dtype=np.int64))
+        self.cols = limb.xnp.asarray(np.asarray(cols, dtype=np.int64))
         self.coeffs = limb.to_mont(spec, limb.from_ints(coeffs))
         self.spec = spec
 
@@ -228,7 +228,7 @@ class Brakedown:
         sections.append(rs_out)
         # upward B chain (reverse order), each consuming a slice of the
         # codeword built so far
-        flat = jnp.concatenate(sections, axis=1)
+        flat = limb.xnp.concatenate(sections, axis=1)
         # reconstruct offsets per reference: input_offset walks down the A
         # inputs; output_offset walks the tail
         a_dims = [m.dimension for m in self.a]
@@ -240,7 +240,7 @@ class Brakedown:
             input_offset -= a_dim.m
             chunk = flat[:, input_offset: input_offset + b.dimension.n]
             out = b.dot(chunk)
-            flat = jnp.concatenate([flat, out], axis=1)
+            flat = limb.xnp.concatenate([flat, out], axis=1)
             output_offset += b.dimension.m
         assert flat.shape[1] == self.codeword_len, (
             flat.shape, self.codeword_len
@@ -258,7 +258,7 @@ def _reed_solomon(spec: FieldSpec, inputs: jnp.ndarray, out_len: int):
         spec, limb.from_ints(list(range(1, out_len + 1)))
     )  # [out_len, L]
     bsz, n, _ = inputs.shape
-    acc = jnp.zeros((bsz, out_len, limb.L), dtype=jnp.uint32)
+    acc = limb.zeros((bsz, out_len))
     for i in range(n - 1, -1, -1):
         acc = limb.add(
             spec,

@@ -26,19 +26,25 @@ from ..utils.expression import (
 
 def identity_table(spec: FieldSpec, num_vars: int) -> jnp.ndarray:
     """Montgomery tensor of f(b) = b over the hypercube."""
+    import numpy as np
+
+    xnp = limb.xnp
     n = 1 << num_vars
-    b = jnp.arange(n, dtype=jnp.uint32)
-    digits = jnp.stack([b & 0xFFFF, b >> 16], axis=-1)
-    digits = jnp.concatenate(
-        [digits, jnp.zeros((n, limb.L - 2), dtype=jnp.uint32)], axis=-1
+    b = xnp.arange(n, dtype=np.uint32)
+    digits = xnp.stack([b & 0xFFFF, b >> 16], axis=-1)
+    digits = xnp.concatenate(
+        [digits, xnp.zeros((n, limb.L - 2), dtype=np.uint32)], axis=-1
     )
-    return limb.mont_mul(spec, digits, jnp.asarray(int_to_digits(spec.r2_mod_p)))
+    r2 = int_to_digits(spec.r2_mod_p)
+    if not limb.IS_CPP:
+        r2 = jnp.asarray(r2)
+    return limb.mont_mul(spec, digits, r2)
 
 
 def lagrange_table(spec: FieldSpec, num_vars: int, i: int) -> jnp.ndarray:
     bh = BooleanHypercube(num_vars)
     b = int(bh.iter_array[i % (1 << num_vars)])
-    return limb.zeros((1 << num_vars,)).at[b].set(limb.one(spec, ()))
+    return limb.set_index(limb.zeros((1 << num_vars,)), b, limb.one(spec, ()))
 
 
 def evaluate_on_hypercube(
@@ -55,7 +61,7 @@ def evaluate_on_hypercube(
 
     def rot_map(rot: int) -> jnp.ndarray:
         if rot not in rot_cache:
-            rot_cache[rot] = jnp.asarray(bh.rotation_map(rot))
+            rot_cache[rot] = limb.xnp.asarray(bh.rotation_map(rot))
         return rot_cache[rot]
 
     def common(cp):
@@ -74,12 +80,12 @@ def evaluate_on_hypercube(
         return tbl[rot_map(q.rotation.value)]
 
     return expression.evaluate(
-        lambda c: jnp.broadcast_to(
+        lambda c: limb.xnp.broadcast_to(
             limb.const(spec, int(c)), (1 << num_vars, limb.L)
         ),
         common,
         poly,
-        lambda idx: jnp.broadcast_to(
+        lambda idx: limb.xnp.broadcast_to(
             limb.const(spec, int(challenges[idx])), (1 << num_vars, limb.L)
         ),
         lambda a: limb.neg(spec, a),

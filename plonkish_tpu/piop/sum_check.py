@@ -198,7 +198,7 @@ class ProverState:
         order = bh.iter_array
         for i in self.expression.used_lagrange():
             b = int(order[i % n])
-            vec = limb.zeros((n,)).at[b].set(limb.one(spec, ()))
+            vec = limb.set_index(limb.zeros((n,)), b, limb.one(spec, ()))
             self.lagranges[i] = vec
 
         # Identity polynomial: value at index b is identity_offset + b * 2^round
@@ -217,7 +217,7 @@ class ProverState:
         for query in self.expression.used_query():
             rot = query.rotation.value
             if rot != 0 and (query.poly, rot) not in self.polys:
-                rmap = jnp.asarray(bh.rotation_map(rot))
+                rmap = limb.xnp.asarray(bh.rotation_map(rot))
                 self.polys[(query.poly, rot)] = virtual_poly.polys[
                     query.poly
                 ].evals[rmap]
@@ -242,7 +242,7 @@ class ProverState:
         """Final evaluations of each input poly at the challenge point."""
         assert self.round == self.num_vars
         idxs = sorted({p for (p, r) in self.polys if r == 0})
-        stack = jnp.concatenate([self.polys[(p, 0)] for p in idxs], axis=0)
+        stack = limb.xnp.concatenate([self.polys[(p, 0)] for p in idxs], axis=0)
         vals = limb.to_ints(limb.from_mont(self.spec, stack))
         return [Fp(int(v), self.spec) for v in vals]
 
@@ -381,15 +381,17 @@ def _identity_base(spec, size, round_, offset_int):
     The 2^(round+1) scaling folds into the Montgomery constant
     C = 2^(round+1)*R^2 mod p so only b's raw 16-bit digits are needed
     (b < 2^32, avoiding any 64-bit shifts)."""
-    b = jnp.arange(size, dtype=jnp.uint32)
-    digits = jnp.stack([b & 0xFFFF, b >> 16], axis=-1)
-    digits = jnp.concatenate(
-        [digits, jnp.zeros((size, limb.L - 2), dtype=jnp.uint32)], axis=-1
+    xnp = limb.xnp
+    b = xnp.arange(size, dtype=np.uint32)
+    digits = xnp.stack([b & 0xFFFF, b >> 16], axis=-1)
+    digits = xnp.concatenate(
+        [digits, xnp.zeros((size, limb.L - 2), dtype=np.uint32)], axis=-1
     )
     c = ((1 << (round_ + 1)) * spec.r2_mod_p) % spec.p
     from ..fields.spec import int_to_digits
 
-    base = limb.mont_mul(spec, digits, jnp.asarray(int_to_digits(c)))
+    cd = int_to_digits(c) if limb.IS_CPP else jnp.asarray(int_to_digits(c))
+    base = limb.mont_mul(spec, digits, cd)
     off = limb.const(spec, (offset_int + (1 << round_)) % spec.p)
     return limb.add(spec, base, off)
 
@@ -505,7 +507,7 @@ class CoefficientsProver:
             acc0 = term0 if acc0 is None else limb.add(spec, acc0, term0)
             acc2 = term2 if acc2 is None else limb.add(spec, acc2, term2)
         if acc0 is not None:
-            both = limb.from_mont(spec, jnp.stack([acc0, acc2]))
+            both = limb.from_mont(spec, limb.xnp.stack([acc0, acc2]))
             v0, v2 = limb.to_ints(both)
             c0 = c0 + Fp(int(v0), spec)
             c2 = c2 + Fp(int(v2), spec)

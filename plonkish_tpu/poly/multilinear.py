@@ -91,9 +91,7 @@ class MLPoly:
     def evaluate(self, point: Sequence[Fp]) -> Fp:
         assert len(point) == self.num_vars
         evals = self.evals
-        xs = jnp.stack(
-            [limb.const(self.spec, int(x)) for x in point]
-        ) if point else None
+        xs = [limb.const(self.spec, int(x)) for x in point]
         for i in range(self.num_vars):
             evals = _fix_var(self.spec, evals, xs[i])
         v = limb.to_ints(limb.from_mont(self.spec, evals))[0]
@@ -136,61 +134,58 @@ class MLPoly:
                     xv = 1 - x_i if (pat >> (distance + i)) & 1 else x_i
                     evals = _fix_var(spec, evals, limb.const(spec, int(xv)))
                 out.append(evals)
-        flat = jnp.concatenate(out, axis=0)
+        flat = xnp.concatenate(out, axis=0)
         vals = limb.to_ints(limb.from_mont(spec, flat))
         return [Fp(int(v), spec) for v in vals]
 
 
 # ---------------------------------------------------------------------------
-# Device kernels
+# Kernels (backend-agnostic: fused native calls in cpp mode, jit in jax mode)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=0)
-def _fix_var(spec: FieldSpec, evals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+xnp = limb.xnp
+
+
+def _fix_var(spec: FieldSpec, evals, x):
     """out[i] = (e[2i+1] - e[2i]) * x + e[2i]  (multilinear.rs:599-618)."""
+    return limb.fold_pairs(spec, evals, x)
+
+
+def _fix_last_var(spec: FieldSpec, evals, x):
     n = evals.shape[0]
-    pairs = evals.reshape(n // 2, 2, -1)
-    lo, hi = pairs[:, 0], pairs[:, 1]
-    return limb.add(spec, limb.mont_mul(spec, limb.sub(spec, hi, lo), x), lo)
+    return limb.fold_halves(spec, evals[: n // 2], evals[n // 2:], x)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _fix_last_var(spec: FieldSpec, evals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    n = evals.shape[0]
-    lo, hi = evals[: n // 2], evals[n // 2:]
-    return limb.add(spec, limb.mont_mul(spec, limb.sub(spec, hi, lo), x), lo)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def _merge(
-    spec: FieldSpec, evals: jnp.ndarray, x: jnp.ndarray, distance: int, skip: int
-) -> jnp.ndarray:
+def _merge(spec: FieldSpec, evals, x, distance: int, skip: int):
     """Generalized fix: pairs (step*i+skip, step*i+skip+step/2), step=2^distance
     (multilinear.rs merge_into with distance/skip)."""
     step = 1 << distance
     n = evals.shape[0]
     grid = evals.reshape(n // step, step, -1)
-    lo = grid[:, skip]
-    hi = grid[:, skip + step // 2]
-    return limb.add(spec, limb.mont_mul(spec, limb.sub(spec, hi, lo), x), lo)
+    return limb.fold_halves(spec, grid[:, skip], grid[:, skip + step // 2], x)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _eq_xy_kernel(spec: FieldSpec, k: int, ys: jnp.ndarray) -> jnp.ndarray:
+def _eq_xy_kernel(spec: FieldSpec, k: int, ys):
     """eq(x, y) table by doubling expansion (multilinear.rs:91-127).
     ys: [k, 16] Montgomery digits; returns [2^k, 16]."""
     evals = limb.one(spec, (1,))
     for i in range(k - 1, -1, -1):
         hi = limb.mont_mul(spec, evals, ys[i])
         lo = limb.sub(spec, evals, hi)
-        evals = jnp.stack([lo, hi], axis=1).reshape(-1, evals.shape[-1])
+        evals = xnp.stack([lo, hi], axis=1).reshape(-1, evals.shape[-1])
     return evals
+
+
+if not limb.IS_CPP:
+    _eq_xy_kernel = functools.partial(
+        jax.jit, static_argnums=(0, 1)
+    )(_eq_xy_kernel)
 
 
 def eq_xy(spec: FieldSpec, y: Sequence[Fp]) -> MLPoly:
     if not y:
         return MLPoly(spec, limb.one(spec, (1,)))
-    ys = jnp.stack([limb.const(spec, int(v)) for v in y])
+    ys = xnp.stack([limb.const(spec, int(v)) for v in y])
     return MLPoly(spec, _eq_xy_kernel(spec, len(y), ys))
 
 

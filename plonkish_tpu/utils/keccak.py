@@ -59,7 +59,7 @@ def keccak_f(state: list) -> None:
         a[0][0] ^= rc
 
 
-class Keccak256:
+class _PyKeccak256:
     """Incremental Keccak-256 hasher (rate 136, capacity 64, pad 0x01)."""
 
     RATE = 136
@@ -69,7 +69,7 @@ class Keccak256:
         self._state = [[0] * 5 for _ in range(5)]
         self._buf = b""
 
-    def update(self, data: bytes) -> "Keccak256":
+    def update(self, data: bytes):
         self._buf += bytes(data)
         while len(self._buf) >= self.RATE:
             self._absorb(self._buf[: self.RATE])
@@ -105,13 +105,47 @@ class Keccak256:
         return out
 
     def finalize_reset(self) -> bytes:
-        """Digest of everything absorbed so far, then reset to empty state
-        (mirrors sha3 `finalize_fixed_reset`)."""
         out = self.digest()
         self._state = [[0] * 5 for _ in range(5)]
         self._buf = b""
         return out
 
 
+class _NativeKeccak256:
+    """Buffering hasher that defers to the native one-shot kernel (streaming
+    Keccak of a message equals one-shot Keccak of its concatenation)."""
+
+    __slots__ = ("_parts",)
+
+    def __init__(self):
+        self._parts = []
+
+    def update(self, data: bytes):
+        self._parts.append(bytes(data))
+        return self
+
+    def digest(self) -> bytes:
+        from ..ops.keccak_batch import keccak256_many
+
+        return keccak256_many([b"".join(self._parts)])[0]
+
+    def finalize_reset(self) -> bytes:
+        out = self.digest()
+        self._parts = []
+        return out
+
+
+def _native_available() -> bool:
+    try:
+        from ..ops.keccak_batch import _load_native
+
+        return _load_native() is not None
+    except Exception:
+        return False
+
+
+Keccak256 = _NativeKeccak256 if _native_available() else _PyKeccak256
+
+
 def keccak256(data: bytes) -> bytes:
-    return Keccak256().update(data).digest()
+    return _PyKeccak256().update(data).digest()

@@ -100,9 +100,11 @@ class Keccak256Transcript:
         yb = self.stream.read(32)
         if len(xb) != 32 or len(yb) != 32:
             raise EOFError("transcript stream exhausted")
+        from ..curves.host import AffinePoint
+
         x = Fp.from_le_bytes(xb[::-1], curve.base)
         y = Fp.from_le_bytes(yb[::-1], curve.base)
-        point = curve.from_xy(x, y)
+        point = AffinePoint.from_xy(curve, x, y)
         self.common_point(point)
         return point
 

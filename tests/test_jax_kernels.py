@@ -1,0 +1,98 @@
+"""Cross-backend equivalence: the JAX (TPU-path) kernels must agree with the
+native C++ host runtime on identical inputs — same uint32[...,16] layout in
+and out.  These run the jitted `_*_jax` implementations directly even when the
+suite default backend is cpp."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plonkish_tpu.curves.device import _padd_jax, _pdbl_jax, from_affine_host
+from plonkish_tpu.curves.host import AffinePoint
+from plonkish_tpu.curves.specs import BN254_G1
+from plonkish_tpu.fields import BN254_FR, limb
+
+SPEC = BN254_FR
+RNG = random.Random(0xABCD)
+
+
+def rand_mont(n):
+    return limb.to_mont(
+        SPEC, limb.from_ints([RNG.randrange(SPEC.p) for _ in range(n)])
+    )
+
+
+def asnp(x):
+    return np.asarray(x, dtype=np.uint32)
+
+
+def test_mont_mul_equivalence():
+    a, b = rand_mont(33), rand_mont(33)
+    cpp = limb.mont_mul(SPEC, a, b)
+    jax_out = limb._mont_mul_jax(SPEC, jnp.asarray(asnp(a)), jnp.asarray(asnp(b)))
+    assert np.array_equal(asnp(cpp), asnp(jax_out))
+
+
+def test_add_sub_equivalence():
+    a, b = rand_mont(17), rand_mont(17)
+    assert np.array_equal(
+        asnp(limb.add(SPEC, a, b)),
+        asnp(limb._add_jax(SPEC, jnp.asarray(asnp(a)), jnp.asarray(asnp(b)))),
+    )
+    assert np.array_equal(
+        asnp(limb.sub(SPEC, a, b)),
+        asnp(limb._sub_jax(SPEC, jnp.asarray(asnp(a)), jnp.asarray(asnp(b)))),
+    )
+    assert np.array_equal(
+        asnp(limb.neg(SPEC, a)),
+        asnp(limb._neg_jax(SPEC, jnp.asarray(asnp(a)))),
+    )
+
+
+def test_batch_inv_equivalence():
+    a = rand_mont(16)
+    a = limb.set_index(a, 3, np.zeros(16, dtype=np.uint32))
+    cpp = limb.batch_inv(SPEC, a)
+    jax_out = limb._batch_inv_jax(SPEC, jnp.asarray(asnp(a)))
+    assert np.array_equal(asnp(cpp), asnp(jax_out))
+
+
+def test_sum_scatter_equivalence():
+    a = rand_mont(40)
+    assert np.array_equal(
+        asnp(limb.sum_reduce(SPEC, a)),
+        asnp(limb._sum_reduce_jax(SPEC, jnp.asarray(asnp(a)))),
+    )
+    idx = np.asarray([RNG.randrange(7) for _ in range(40)], dtype=np.int64)
+    assert np.array_equal(
+        asnp(limb.scatter_sum(SPEC, a, idx, 7)),
+        asnp(limb._scatter_sum_jax(SPEC, jnp.asarray(asnp(a)), jnp.asarray(idx), 7)),
+    )
+
+
+def test_prefix_mul_equivalence():
+    a = rand_mont(23)
+    assert np.array_equal(
+        asnp(limb.prefix_mul(SPEC, a)),
+        asnp(limb._prefix_mul_jax(SPEC, jnp.asarray(asnp(a)))),
+    )
+
+
+def test_ec_equivalence():
+    curve = BN254_G1
+    g = AffinePoint.generator(curve)
+    pts = [g.scalar_mul(RNG.randrange(1, curve.scalar.p)) for _ in range(8)]
+    dev = from_affine_host(curve, pts)
+    a, b = dev[0::2], dev[1::2]
+    from plonkish_tpu.curves.device import padd, pdbl
+
+    assert np.array_equal(
+        asnp(padd(curve, a, b)),
+        asnp(_padd_jax(curve, jnp.asarray(asnp(a)), jnp.asarray(asnp(b)))),
+    )
+    assert np.array_equal(
+        asnp(pdbl(curve, dev)),
+        asnp(_pdbl_jax(curve, jnp.asarray(asnp(dev)))),
+    )

@@ -1,0 +1,118 @@
+"""PCS round-trips (mirrors reference pcs/multilinear.rs:293-406 harness)."""
+
+import random
+
+import pytest
+
+from plonkish_tpu.backend.pcs_api import Evaluation
+from plonkish_tpu.fields import BN254_FR, Fp
+from plonkish_tpu.pcs.brakedown import MultilinearBrakedown
+from plonkish_tpu.pcs.brakedown_code import BRAKEDOWN_SPEC_TEST
+from plonkish_tpu.pcs.kzg import MultilinearKzg
+from plonkish_tpu.poly.multilinear import MLPoly
+from plonkish_tpu.utils.transcript import Keccak256Transcript
+
+SPEC = BN254_FR
+RNG = random.Random(31337)
+
+
+def rand_poly(num_vars):
+    return MLPoly.from_fps(
+        SPEC, [Fp(RNG.randrange(SPEC.p), SPEC) for _ in range(1 << num_vars)]
+    )
+
+
+def run_commit_open_verify(pcs, num_vars):
+    param = pcs.setup(1 << num_vars, 1, random.Random(7))
+    pp, vp = pcs.trim(param, 1 << num_vars, 1)
+
+    t = Keccak256Transcript(SPEC)
+    poly = rand_poly(num_vars)
+    comm = pcs.commit_and_write(pp, poly, t)
+    point = t.squeeze_challenges(num_vars)
+    eval_ = poly.evaluate(point)
+    t.write_field_element(eval_)
+    pcs.open(pp, poly, comm, point, eval_, t)
+    proof = t.into_proof()
+
+    r = Keccak256Transcript.from_proof(SPEC, proof)
+    comm = pcs.read_commitments(vp, 1, r)[0]
+    point = r.squeeze_challenges(num_vars)
+    eval_ = r.read_field_element()
+    pcs.verify(vp, comm, point, eval_, r)
+
+
+def run_batch_commit_open_verify(pcs, num_vars, batch_size=4):
+    num_points = batch_size >> 1
+    param = pcs.setup(1 << num_vars, batch_size, random.Random(7))
+    pp, vp = pcs.trim(param, 1 << num_vars, batch_size)
+
+    pairs = list(
+        dict.fromkeys(
+            [(0, pt) for pt in range(num_points)]
+            + [(poly, 0) for poly in range(batch_size)]
+            + [
+                (RNG.randrange(batch_size), RNG.randrange(num_points))
+                for _ in range(batch_size)
+            ]
+        )
+    )
+
+    t = Keccak256Transcript(SPEC)
+    polys = [rand_poly(num_vars) for _ in range(batch_size)]
+    comms = pcs.batch_commit_and_write(pp, polys, t)
+    points = [t.squeeze_challenges(num_vars) for _ in range(num_points)]
+    evals = [
+        Evaluation(poly, pt, polys[poly].evaluate(points[pt]))
+        for (poly, pt) in pairs
+    ]
+    t.write_field_elements([e.value for e in evals])
+    pcs.batch_open(pp, polys, comms, points, evals, t)
+    proof = t.into_proof()
+
+    r = Keccak256Transcript.from_proof(SPEC, proof)
+    comms = pcs.read_commitments(vp, batch_size, r)
+    points = [r.squeeze_challenges(num_vars) for _ in range(num_points)]
+    read_evals = [
+        Evaluation(poly, pt, v)
+        for (poly, pt), v in zip(pairs, r.read_field_elements(len(pairs)))
+    ]
+    pcs.batch_verify(vp, comms, points, read_evals, r)
+
+
+@pytest.mark.parametrize("num_vars", [3, 5])
+def test_brakedown_commit_open_verify(num_vars):
+    run_commit_open_verify(
+        MultilinearBrakedown(SPEC, BRAKEDOWN_SPEC_TEST), num_vars
+    )
+
+
+@pytest.mark.parametrize("num_vars", [3, 5])
+def test_kzg_commit_open_verify(num_vars):
+    run_commit_open_verify(MultilinearKzg(), num_vars)
+
+
+@pytest.mark.parametrize("num_vars", [3, 4])
+def test_kzg_batch_commit_open_verify(num_vars):
+    run_batch_commit_open_verify(MultilinearKzg(), num_vars)
+
+
+def test_kzg_bad_eval_rejected():
+    pcs = MultilinearKzg()
+    num_vars = 3
+    param = pcs.setup(1 << num_vars, 1, random.Random(7))
+    pp, vp = pcs.trim(param, 1 << num_vars, 1)
+    t = Keccak256Transcript(SPEC)
+    poly = rand_poly(num_vars)
+    comm = pcs.commit_and_write(pp, poly, t)
+    point = t.squeeze_challenges(num_vars)
+    eval_ = poly.evaluate(point) + Fp.one(SPEC)  # WRONG
+    t.write_field_element(eval_)
+    pcs.open(pp, poly, comm, point, poly.evaluate(point), t)
+    proof = t.into_proof()
+    r = Keccak256Transcript.from_proof(SPEC, proof)
+    comm = pcs.read_commitments(vp, 1, r)[0]
+    point = r.squeeze_challenges(num_vars)
+    bad_eval = r.read_field_element()
+    with pytest.raises(ValueError):
+        pcs.verify(vp, comm, point, bad_eval, r)
