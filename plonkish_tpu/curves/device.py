@@ -173,3 +173,35 @@ def _tree_sum_jax(curve: CurveSpec, points: jnp.ndarray) -> jnp.ndarray:
 def select(mask, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Where mask (shape [...]) pick point a else b."""
     return limb.xnp.where(mask[..., None, None], a, b)
+
+
+def scalar_mul_const(curve: CurveSpec, points: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k·P for every point, shared host-known scalar k."""
+    from ..fields.spec import int_to_digits
+
+    k = int(k) % curve.scalar.p
+    if limb.IS_CPP:
+        from ..ops import field_cpp as _cpp
+
+        return _cpp.ec_scalar_mul(curve, points, int_to_digits(k))
+    return _scalar_mul_const_jax(curve, points, k)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _scalar_mul_const_jax(curve: CurveSpec, points: jnp.ndarray, k: int):
+    if k == 0:
+        return jnp.broadcast_to(identity(curve), points.shape)
+    nbits = k.bit_length()
+    bits = jnp.asarray(
+        [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
+    )
+
+    def body(acc, bit):
+        acc = _pdbl_jax(curve, acc)
+        added = _padd_jax(curve, acc, points)
+        acc = jnp.where((bit != 0)[..., None, None], added, acc)
+        return acc, None
+
+    init = jnp.broadcast_to(identity(curve), points.shape)
+    out, _ = jax.lax.scan(body, init, bits)
+    return out

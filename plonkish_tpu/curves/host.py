@@ -32,7 +32,8 @@ class AffinePoint:
     @classmethod
     def from_xy(cls, curve: CurveSpec, x: Fp, y: Fp) -> "AffinePoint":
         p = cls(curve, x, y)
-        assert p.is_on_curve(), "point not on curve"
+        if not p.is_on_curve():
+            raise ValueError("Invalid elliptic curve point encoding")
         return p
 
     def is_identity(self) -> bool:

@@ -54,7 +54,7 @@ def _window_digits(scalars, c: int, num_windows: int):
         d, sh = off // 16, off % 16
         lo = padded[:, d] >> sh
         if sh > 0:
-            hi = (padded[:, d + 1] << (16 - sh)) & 0xFFFFFFFF
+            hi = padded[:, d + 1] << (16 - sh)  # uint32 shifts wrap
         else:
             hi = xnp.zeros_like(lo)
         outs.append((lo | hi) & mask)

@@ -63,6 +63,7 @@ for name, argtypes in {
     "ec_padd": [ctypes.c_int, _u32p, _u32p, _u32p, ctypes.c_long, ctypes.c_long],
     "ec_pdbl": [ctypes.c_int, _u32p, _u32p, ctypes.c_long],
     "ec_sum": [ctypes.c_int, _u32p, _u32p, ctypes.c_long],
+    "ec_scalar_mul": [ctypes.c_int, _u32p, _u32p, _u32p, ctypes.c_long],
     "ec_msm": [ctypes.c_int, _u32p, _u32p, _u32p, ctypes.c_long, ctypes.c_int],
 }.items():
     fn = getattr(_lib, name)
@@ -260,6 +261,15 @@ def ec_sum(curve, p):
     p = _prep(p)
     out = np.empty((3, 16), dtype=np.uint32)
     _lib.ec_sum(curve_id(curve), _ptr(p), _ptr(out), p.size // 48)
+    return out
+
+
+def ec_scalar_mul(curve, points, k_digits):
+    points = _prep(points)
+    k = _prep(k_digits)
+    out = np.empty_like(points)
+    _lib.ec_scalar_mul(curve_id(curve), _ptr(points), _ptr(k), _ptr(out),
+                       points.size // 48)
     return out
 
 

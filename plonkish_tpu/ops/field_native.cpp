@@ -416,6 +416,33 @@ void ec_pdbl(int cid, const u32* p, u32* out, long n) {
     pt_store(out + 48 * i, pdbl(pt_load(p + 48 * i), c, f));
 }
 
+// out[i] = k * p[i] with a shared 256-bit scalar (16-bit digit layout).
+void ec_scalar_mul(int cid, const u32* p, const u32* k_digits, u32* out,
+                   long n) {
+  const Curve& c = g_curves[cid];
+  const Field& f = g_fields[c.field_id];
+  Fe k = load(k_digits);
+  for (long i = 0; i < n; ++i) {
+    Pt base = pt_load(p + 48 * i);
+    Pt acc = pt_identity(f);
+    bool started = false;
+    for (int limbi = 3; limbi >= 0; --limbi) {
+      for (int bit = 63; bit >= 0; --bit) {
+        if (started) acc = pdbl(acc, c, f);
+        if ((k.v[limbi] >> bit) & 1) {
+          if (started) {
+            acc = padd(acc, base, c, f);
+          } else {
+            acc = base;
+            started = true;
+          }
+        }
+      }
+    }
+    pt_store(out + 48 * i, started ? acc : pt_identity(f));
+  }
+}
+
 void ec_sum(int cid, const u32* p, u32* out, long n) {
   const Curve& c = g_curves[cid];
   const Field& f = g_fields[c.field_id];

@@ -84,14 +84,22 @@ class Keccak256Transcript:
         return [self.read_field_element() for _ in range(n)]
 
     # ---- curve-point commitments (affine x/y in the base field) ----
+    # The identity is encoded as (0, 0) — unambiguous on y^2 = x^3 + b with
+    # b != 0 (all supported curves).
     def common_point(self, point) -> None:
         if point.is_identity():
-            raise ValueError("Invalid elliptic curve point encoding")
+            zero = b"\x00" * 32
+            self.state.update(zero)
+            self.state.update(zero)
+            return
         self.state.update(point.x.to_repr())
         self.state.update(point.y.to_repr())
 
     def write_point(self, point) -> None:
         self.common_point(point)
+        if point.is_identity():
+            self.stream.write(b"\x00" * 64)
+            return
         self.stream.write(point.x.to_repr()[::-1])
         self.stream.write(point.y.to_repr()[::-1])
 
@@ -104,7 +112,10 @@ class Keccak256Transcript:
 
         x = Fp.from_le_bytes(xb[::-1], curve.base)
         y = Fp.from_le_bytes(yb[::-1], curve.base)
-        point = AffinePoint.from_xy(curve, x, y)
+        if x.is_zero() and y.is_zero():
+            point = AffinePoint.identity(curve)
+        else:
+            point = AffinePoint.from_xy(curve, x, y)
         self.common_point(point)
         return point
 

@@ -67,3 +67,37 @@ def test_corrupted_proof_rejected():
     reader = Keccak256Transcript.from_proof(SPEC, bytes(proof))
     with pytest.raises((ValueError, AssertionError, EOFError)):
         backend.verify(vp, circuit.instances(), reader)
+
+
+@pytest.mark.parametrize(
+    "pcs_name", ["kzg", "gemini", "zeromorph", "ipa", "hyrax"]
+)
+def test_hyperplonk_all_pcs(pcs_name):
+    """HyperPlonk over every curve-based PCS (reference test matrix,
+    backend/hyperplonk.rs:398-426) at one size each."""
+    from plonkish_tpu.pcs.gemini import Gemini
+    from plonkish_tpu.pcs.hyrax import MultilinearHyrax
+    from plonkish_tpu.pcs.ipa import MultilinearIpa
+    from plonkish_tpu.pcs.kzg import MultilinearKzg
+    from plonkish_tpu.pcs.zeromorph import Zeromorph
+    from plonkish_tpu.fields import BN254_FQ
+
+    pcs = {
+        "kzg": lambda: MultilinearKzg(),
+        "gemini": lambda: Gemini(),
+        "zeromorph": lambda: Zeromorph(),
+        "ipa": lambda: MultilinearIpa(),
+        "hyrax": lambda: MultilinearHyrax(),
+    }[pcs_name]()
+    spec = pcs.field_spec
+    num_vars = 5
+    circuit_info, circuit = rand_vanilla_plonk_circuit(
+        spec, num_vars, random.Random(9), random.Random(10)
+    )
+    backend = HyperPlonk(pcs)
+    param = backend.setup(circuit_info, random.Random(0))
+    pp, vp = backend.preprocess(param, circuit_info)
+    transcript = Keccak256Transcript(spec)
+    backend.prove(pp, circuit, transcript)
+    reader = Keccak256Transcript.from_proof(spec, transcript.into_proof())
+    backend.verify(vp, circuit.instances(), reader)

@@ -1,0 +1,78 @@
+"""Protostar/Sangria accumulation round-trips (mirrors reference
+accumulation.rs:189-261 harness: fold 3 circuits then decide+verify)."""
+
+import random
+
+import pytest
+
+from plonkish_tpu.accumulation.protostar import (
+    Protostar,
+    ProtostarStrategy,
+    Sangria,
+)
+from plonkish_tpu.fields import BN254_FR
+from plonkish_tpu.models.circuits import (
+    rand_vanilla_plonk_circuit,
+    rand_vanilla_plonk_with_lookup_circuit,
+)
+from plonkish_tpu.pcs.kzg import MultilinearKzg
+from plonkish_tpu.utils.transcript import Keccak256Transcript
+
+SPEC = BN254_FR
+
+
+def run_accumulation_scheme(scheme, num_vars, circuit_fn, num_circuits=3):
+    spec = scheme.pcs.field_spec
+    # same structure (fixed preprocess seed), different witnesses
+    circuit_info, _ = circuit_fn(spec, num_vars, 0)
+    circuits = [circuit_fn(spec, num_vars, 100 + i)[1] for i in range(num_circuits)]
+
+    param = scheme.setup(circuit_info, random.Random(0))
+    pp, vp = scheme.preprocess(param, circuit_info)
+
+    accumulator = scheme.init_accumulator(pp)
+    for circuit in circuits[:-1]:
+        scheme.prove_accumulation_from_nark(
+            pp, accumulator, circuit, Keccak256Transcript(spec)
+        )
+
+    accumulator_before_last = accumulator.instance.clone()
+
+    t = Keccak256Transcript(spec)
+    scheme.prove_decider_with_last_nark(pp, accumulator, circuits[-1], t)
+    proof = t.into_proof()
+
+    r = Keccak256Transcript.from_proof(spec, proof)
+    scheme.verify_decider_with_last_nark(
+        vp, accumulator_before_last, circuits[-1].instances(), r
+    )
+
+
+def vanilla_fn(spec, num_vars, witness_seed):
+    return rand_vanilla_plonk_circuit(
+        spec, num_vars, random.Random(42), random.Random(witness_seed)
+    )
+
+
+def lookup_fn(spec, num_vars, witness_seed):
+    return rand_vanilla_plonk_with_lookup_circuit(
+        spec, num_vars, random.Random(42), random.Random(witness_seed)
+    )
+
+
+@pytest.mark.parametrize("num_vars", [3, 5])
+def test_protostar_vanilla_plonk(num_vars):
+    run_accumulation_scheme(Protostar(MultilinearKzg()), num_vars, vanilla_fn)
+
+
+@pytest.mark.parametrize("num_vars", [3, 5])
+def test_protostar_vanilla_plonk_with_lookup(num_vars):
+    run_accumulation_scheme(Protostar(MultilinearKzg()), num_vars, lookup_fn)
+
+
+def test_sangria_vanilla_plonk():
+    run_accumulation_scheme(Sangria(MultilinearKzg()), 4, vanilla_fn)
+
+
+def test_sangria_vanilla_plonk_with_lookup():
+    run_accumulation_scheme(Sangria(MultilinearKzg()), 4, lookup_fn)
