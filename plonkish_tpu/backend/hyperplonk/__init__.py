@@ -15,6 +15,7 @@ from ...fields.host import Fp
 from ...fields.spec import FieldSpec
 from ...poly.multilinear import MLPoly
 from ...utils.expression import Expression
+from ...utils.timer import span
 from ...utils.transcript import Keccak256Transcript
 from ..circuit import PlonkishCircuit, PlonkishCircuitInfo
 from . import preprocessor, prover, verifier
@@ -143,12 +144,14 @@ class HyperPlonk:
         for round_, (num_witness, num_challenges) in enumerate(
             zip(pp.num_witness_polys, pp.num_challenges)
         ):
-            columns = circuit.synthesize(round_, challenges)
-            polys = [MLPoly.from_fps(spec, col) for col in columns]
+            with span(f"witness_collector-{round_}"):
+                columns = circuit.synthesize(round_, challenges)
+                polys = [MLPoly.from_fps(spec, col) for col in columns]
             assert len(polys) == num_witness
-            witness_comms.extend(
-                self.pcs.batch_commit_and_write(pp.pcs, polys, transcript)
-            )
+            with span(f"witness_commit-{round_}"):
+                witness_comms.extend(
+                    self.pcs.batch_commit_and_write(pp.pcs, polys, transcript)
+                )
             witness_polys.extend(polys)
             challenges.extend(transcript.squeeze_challenges(num_challenges))
 
@@ -158,22 +161,26 @@ class HyperPlonk:
         beta = transcript.squeeze_challenge()
         max_lookup_width = max((len(l) for l in pp.lookups), default=0)
         betas = _powers(beta, max_lookup_width)
-        lookup_compressed = lookup_compressed_polys(
-            spec, pp.lookups, polys, challenges, betas
-        )
-        m_polys = lookup_m_polys(lookup_compressed)
+        with span(f"lookup_compressed_polys-{len(pp.lookups)}"):
+            lookup_compressed = lookup_compressed_polys(
+                spec, pp.lookups, polys, challenges, betas
+            )
+        with span(f"lookup_m_polys-{len(pp.lookups)}"):
+            m_polys = lookup_m_polys(lookup_compressed)
         m_comms = self.pcs.batch_commit_and_write(pp.pcs, m_polys, transcript)
 
         # Round n+1: gamma, lookup h + permutation z polys
         gamma = transcript.squeeze_challenge()
-        h_polys = lookup_h_polys(lookup_compressed, m_polys, gamma)
-        z_polys = permutation_z_polys(
-            pp.num_permutation_z_polys,
-            pp.permutation_polys,
-            polys,
-            beta,
-            gamma,
-        )
+        with span(f"lookup_h_polys-{len(pp.lookups)}"):
+            h_polys = lookup_h_polys(lookup_compressed, m_polys, gamma)
+        with span(f"permutation_z_polys-{len(pp.permutation_polys)}"):
+            z_polys = permutation_z_polys(
+                pp.num_permutation_z_polys,
+                pp.permutation_polys,
+                polys,
+                beta,
+                gamma,
+            )
         h_z_polys = h_polys + z_polys
         h_z_comms = self.pcs.batch_commit_and_write(pp.pcs, h_z_polys, transcript)
 
@@ -188,14 +195,15 @@ class HyperPlonk:
             + h_z_polys
         )
         challenges = challenges + [beta, gamma, alpha]
-        points, evals = prove_zero_check(
-            len(pp.num_instances),
-            pp.expression,
-            all_polys,
-            challenges,
-            y,
-            transcript,
-        )
+        with span("zero_check"):
+            points, evals = prove_zero_check(
+                len(pp.num_instances),
+                pp.expression,
+                all_polys,
+                challenges,
+                y,
+                transcript,
+            )
 
         # PCS batch open (commitment order: dummy instances, preprocess,
         # witness, permutation, lookup m, lookup h + permutation z)
@@ -208,7 +216,10 @@ class HyperPlonk:
             + m_comms
             + h_z_comms
         )
-        self.pcs.batch_open(pp.pcs, all_polys, comms, points, evals, transcript)
+        with span(f"pcs_batch_open-{len(evals)}"):
+            self.pcs.batch_open(
+                pp.pcs, all_polys, comms, points, evals, transcript
+            )
 
     # ----------------------------------------------------------------- verify
     def verify(

@@ -50,6 +50,7 @@ from ..utils.expression import (
     Query,
     Rotation,
 )
+from ..utils.timer import span
 from ..utils.transcript import Keccak256Transcript
 
 
@@ -542,16 +543,19 @@ class ClassicSumCheck:
         sum_: Fp,
         transcript: Keccak256Transcript,
     ) -> Tuple[List[Fp], List[Fp]]:
-        state = ProverState(spec, num_vars, sum_, virtual_poly)
-        prover = self.prover_cls(state)
-        aux = self.message_cls.auxiliary(state.degree, spec)
-        challenges = []
-        for _ in range(num_vars):
-            msg = prover.prove_round(state)
-            msg.write(transcript)
-            challenge = transcript.squeeze_challenge()
-            challenges.append(challenge)
-            state.next_round(msg.evaluate(aux, challenge), challenge)
+        with span(f"sum_check_prove-{num_vars}-{virtual_poly.expression.degree()}"):
+            state = ProverState(spec, num_vars, sum_, virtual_poly)
+            prover = self.prover_cls(state)
+            aux = self.message_cls.auxiliary(state.degree, spec)
+            challenges = []
+            for round_ in range(num_vars):
+                with span(f"sum_check_prove_round-{round_}"):
+                    msg = prover.prove_round(state)
+                msg.write(transcript)
+                challenge = transcript.squeeze_challenge()
+                challenges.append(challenge)
+                with span(f"sum_check_next_round-{round_}"):
+                    state.next_round(msg.evaluate(aux, challenge), challenge)
         return challenges, state.into_evals()
 
     def verify(
