@@ -90,17 +90,17 @@ def lookup_m_polys(
     out = []
     for (input_poly, table_poly) in compressed_polys:
         spec = input_poly.spec
-        input_vals = [int(v) for v in limb.to_ints(
-            limb.from_mont(spec, input_poly.evals))]
-        table_vals = [int(v) for v in limb.to_ints(
-            limb.from_mont(spec, table_poly.evals))]
+        n = len(input_poly)
+        input_blob = limb.to_bytes_rows(limb.from_mont(spec, input_poly.evals))
+        table_blob = limb.to_bytes_rows(limb.from_mont(spec, table_poly.evals))
         index_map = {}
-        for idx, v in enumerate(table_vals):
-            if v not in index_map:
-                index_map[v] = idx
-        m = [0] * len(input_vals)
-        for v in input_vals:
-            idx = index_map.get(v)
+        for idx in range(n):
+            key = table_blob[32 * idx: 32 * idx + 32]
+            if key not in index_map:
+                index_map[key] = idx
+        m = [0] * n
+        for i in range(n):
+            idx = index_map.get(input_blob[32 * i: 32 * i + 32])
             if idx is None:
                 raise ValueError("Invalid lookup input")
             m[idx] += 1

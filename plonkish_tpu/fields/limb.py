@@ -89,29 +89,34 @@ def zeros(shape=()) -> jnp.ndarray:
 
 def from_ints(values, spec: FieldSpec | None = None) -> jnp.ndarray:
     """Python ints -> digit tensor (canonical form, NOT Montgomery)."""
-    values = np.asarray(values, dtype=object)
-    flat = values.reshape(-1)
-    out = np.empty((flat.size, L), dtype=np.uint32)
-    for i, v in enumerate(flat.tolist()):
-        out[i] = int_to_digits(int(v))
-    out = out.reshape(*values.shape, L)
+    if not isinstance(values, (list, tuple)):
+        values = list(np.asarray(values, dtype=object).reshape(-1))
+    blob = b"".join(int(v).to_bytes(32, "little") for v in values)
+    out = (
+        np.frombuffer(blob, dtype="<u2")
+        .reshape(len(values), L)
+        .astype(np.uint32)
+    )
     return out if IS_CPP else jnp.asarray(out)
 
 
 def to_ints(digits) -> np.ndarray:
     """Digit tensor -> numpy object array of Python ints."""
-    arr = np.asarray(jax.device_get(digits), dtype=np.uint64)
+    arr = np.asarray(jax.device_get(digits), dtype=np.uint32)
     shape = arr.shape[:-1]
-    flat = arr.reshape(-1, L)
-    out = np.empty(flat.shape[0], dtype=object)
-    weights = [1 << (W * i) for i in range(L)]
-    for i in range(flat.shape[0]):
-        row = flat[i]
-        acc = 0
-        for j in range(L):
-            acc += int(row[j]) * weights[j]
-        out[i] = acc
+    blob = np.ascontiguousarray(arr.reshape(-1, L).astype("<u2")).tobytes()
+    n = len(blob) // 32
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = int.from_bytes(blob[32 * i: 32 * i + 32], "little")
     return out.reshape(shape)
+
+
+def to_bytes_rows(digits) -> bytes:
+    """Digit tensor -> concatenated canonical 32-byte LE reprs (bypasses
+    Python ints; fast path for hashing/keying canonical values)."""
+    arr = np.asarray(jax.device_get(digits), dtype=np.uint32)
+    return np.ascontiguousarray(arr.reshape(-1, L).astype("<u2")).tobytes()
 
 
 def const(spec: FieldSpec, value: int, mont: bool = True) -> jnp.ndarray:

@@ -59,8 +59,8 @@ def cost_breakdown(categories=None):
     """Aggregate the trace into category -> seconds, mirroring the
     reference plotter's grouping of timer logs."""
     categories = categories or {
-        "sum_check": ("sum_check",),
-        "pcs": ("pcs_batch_open", "commit"),
+        "sum_check": ("zero_check", "sum_check"),
+        "pcs": ("pcs_batch_open", "witness_commit"),
         "witness": ("witness_collector",),
         "lookup": ("lookup",),
         "permutation": ("permutation",),
@@ -68,8 +68,8 @@ def cost_breakdown(categories=None):
     out = {k: 0.0 for k in categories}
     out["other"] = 0.0
     for name, depth, dt in _trace:
-        if depth != 1:
-            continue  # only direct children of the top-level span
+        if depth != 0:
+            continue  # top-level prover phases only
         for cat, prefixes in categories.items():
             if any(name.startswith(p) for p in prefixes):
                 out[cat] += dt
