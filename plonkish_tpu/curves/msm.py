@@ -5,9 +5,13 @@ Pippenger re-designed for SIMD-without-atomics (reference serial version:
 
 1. window digits extracted from 16-bit scalar limbs on device;
 2. bucket accumulation over a [num_windows, num_chunks, num_buckets] tensor:
-   a `fori_loop` walks each chunk serially while every (window, chunk) lane
-   gathers its bucket, complete-adds the point, and scatters back — complete
-   formulas make collisions/doubling/identity all branch-free;
+   a `fori_loop` walks each chunk serially; every (window, chunk) lane reads
+   its bucket with a dense one-hot masked-reduce over the (small) bucket
+   axis, complete-adds the point, and writes back with a one-hot select.
+   TPUs have no atomics and XLA scatters serialize, so the bucket axis is
+   kept narrow (2^c) and touched densely — pure streaming VPU traffic,
+   2·n·W·2^c point-rows total; complete formulas make collisions/doubling/
+   identity branch-free;
 3. chunk axis folded by a pairwise padd tree;
 4. per-window weighted bucket sum via the running-sum trick (fori_loop);
 5. final window combination on host (W points, c doublings each).
@@ -27,16 +31,26 @@ import jax.numpy as jnp
 
 from ..fields import limb
 from ..fields.host import Fp
-from .device import from_affine_host, identity, padd, to_affine_host, tree_sum
+from .device import (
+    _padd_jax,
+    from_affine_host,
+    identity,
+    padd,
+    to_affine_host,
+    tree_sum,
+)
 from .host import AffinePoint
 from .specs import CurveSpec
 
 
 def window_size(num_scalars: int) -> int:
-    """Bucket window size heuristic (msm.rs:8-14 uses ~ln n)."""
+    """Window size for the dense bucket kernel: per-point cost is
+    ~2·W·2^c bucket-row traffic + W padds, minimized at small c."""
     if num_scalars < 32:
-        return 3
-    return min(13, max(4, int(math.log2(num_scalars)) // 2 + 2))
+        return 2
+    if num_scalars < (1 << 14):
+        return 4
+    return 5
 
 
 def _window_digits(scalars, c: int, num_windows: int):
@@ -79,20 +93,23 @@ def _bucket_accumulate(curve, points, digits, c, num_chunks):
     points = points.reshape(num_chunks, chunk_len, 3, limb.L)
     digits = digits.reshape(w, num_chunks, chunk_len)
 
-    @functools.partial(jax.jit, static_argnums=0)
     def run(curve, points, digits):
         buckets = jnp.broadcast_to(
             identity(curve), (w, num_chunks, b, 3, limb.L)
         ).copy()
-        w_idx = jnp.arange(w)[:, None]
-        c_idx = jnp.arange(num_chunks)[None, :]
+        iota_b = jnp.arange(b, dtype=jnp.int32)
 
         def body(t, buckets):
             pt = points[:, t]  # [num_chunks, 3, L]
             idx = digits[:, :, t]  # [w, num_chunks]
-            cur = buckets[w_idx, c_idx, idx]  # [w, num_chunks, 3, L]
-            new = padd(curve, cur, pt[None])
-            return buckets.at[w_idx, c_idx, idx].set(new)
+            onehot = (iota_b[None, None, :] == idx[:, :, None])  # [w, C, b]
+            mask = onehot[..., None, None]
+            # dense gather: exactly one bucket row survives the masked sum
+            cur = jnp.sum(
+                jnp.where(mask, buckets, jnp.uint32(0)), axis=2
+            )  # [w, C, 3, L]
+            new = _padd_jax(curve, cur, pt[None])
+            return jnp.where(mask, new[:, :, None], buckets)
 
         buckets = jax.lax.fori_loop(0, chunk_len, body, buckets)
         # fold the chunk axis with a padd tree
@@ -103,13 +120,12 @@ def _bucket_accumulate(curve, points, digits, c, num_chunks):
                     identity(curve), (w, 1, b, 3, limb.L)
                 )
                 buckets = jnp.concatenate([buckets, pad_b], axis=1)
-            buckets = padd(curve, buckets[:, 0::2], buckets[:, 1::2])
+            buckets = _padd_jax(curve, buckets[:, 0::2], buckets[:, 1::2])
         return buckets[:, 0]  # [w, b, 3, L]
 
     return run(curve, points, digits)
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def _bucket_reduce(curve, buckets):
     """[W, B, 3, L] -> [W, 3, L]: Σ_j j·bucket[j] via running sums
     (msm.rs:166-179)."""
@@ -120,12 +136,25 @@ def _bucket_reduce(curve, buckets):
     def body(i, carry):
         running, acc = carry
         j = b - 1 - i
-        running = padd(curve, running, buckets[:, j])
-        acc = padd(curve, acc, running)
+        running = _padd_jax(curve, running, buckets[:, j])
+        acc = _padd_jax(curve, acc, running)
         return (running, acc)
 
     running, acc = jax.lax.fori_loop(0, b - 1, body, (running, acc))
     return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _msm_windows_jit(curve, inputs, c, num_windows, num_chunks):
+    """Fully fused MSM window sums: ONE device call computes window digits,
+    dense bucket accumulation, the chunk-axis padd tree, and the weighted
+    bucket reduction.  (Per-op dispatch costs a network RTT on the tunneled
+    TPU, so everything between host scalars and the [W,3,L] window sums must
+    be a single program.)"""
+    scalars, points = inputs
+    digits = _window_digits(scalars, c, num_windows)
+    buckets = _bucket_accumulate(curve, points, digits, c, num_chunks)
+    return _bucket_reduce(curve, buckets)
 
 
 def variable_base_msm(
@@ -148,11 +177,14 @@ def variable_base_msm(
         return to_affine_host(curve, out[None])[0]
     c = window_size(n)
     num_windows = -(-curve.scalar.num_bits // c)
-    digits = _window_digits(scalars, c, num_windows)
     if num_chunks is None:
-        num_chunks = max(1, min(256, n // 8))
-    buckets = _bucket_accumulate(curve, points, digits, c, num_chunks)
-    windows = _bucket_reduce(curve, buckets)  # [W, 3, L]
+        # bucket tensor is [W, C, 2^c, 3, L] u32 — budget ~512 MB
+        per_chunk = num_windows * (1 << c) * 3 * limb.L * 4
+        num_chunks = max(1, min(512 * 2**20 // per_chunk, n // 4))
+    windows = _msm_windows_jit(
+        curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows,
+        num_chunks,
+    )
     window_points = to_affine_host(curve, windows)
     acc = AffinePoint.identity(curve)
     for wp in reversed(window_points):

@@ -29,8 +29,8 @@ def _build() -> str:
     with tempfile.NamedTemporaryFile(suffix=".so", dir=_HERE, delete=False) as tmp:
         tmp_path = tmp.name
     subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         _SRC, "-o", tmp_path],
+        ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+         "-std=c++17", _SRC, "-o", tmp_path],
         check=True,
         capture_output=True,
     )

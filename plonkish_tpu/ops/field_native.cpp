@@ -284,24 +284,28 @@ int register_curve(int field_id, const u32* b3_mont_digits) {
 // Elementwise ops.  sb = stride of b in 16-lane units (0 broadcasts b[0]).
 void fe_add(int fid, const u32* a, const u32* b, u32* out, long n, long sb) {
   const Field& f = g_fields[fid];
+  #pragma omp parallel for schedule(static)
   for (long i = 0; i < n; ++i)
     store(out + 16 * i, fadd(load(a + 16 * i), load(b + 16 * i * sb), f));
 }
 
 void fe_sub(int fid, const u32* a, const u32* b, u32* out, long n, long sb) {
   const Field& f = g_fields[fid];
+  #pragma omp parallel for schedule(static)
   for (long i = 0; i < n; ++i)
     store(out + 16 * i, fsub(load(a + 16 * i), load(b + 16 * i * sb), f));
 }
 
 void fe_neg(int fid, const u32* a, u32* out, long n) {
   const Field& f = g_fields[fid];
+  #pragma omp parallel for schedule(static)
   for (long i = 0; i < n; ++i) store(out + 16 * i, fneg(load(a + 16 * i), f));
 }
 
 void fe_mul(int fid, const u32* a, const u32* b, u32* out, long n, long sa,
             long sb) {
   const Field& f = g_fields[fid];
+  #pragma omp parallel for schedule(static)
   for (long i = 0; i < n; ++i)
     store(out + 16 * i,
           fmul(load(a + 16 * i * sa), load(b + 16 * i * sb), f));
@@ -310,6 +314,7 @@ void fe_mul(int fid, const u32* a, const u32* b, u32* out, long n, long sa,
 void fe_pow(int fid, const u32* a, const u32* e_digits, u32* out, long n) {
   const Field& f = g_fields[fid];
   Fe e = load(e_digits);
+  #pragma omp parallel for schedule(static)
   for (long i = 0; i < n; ++i) store(out + 16 * i, fpow(load(a + 16 * i), e, f));
 }
 
@@ -405,6 +410,7 @@ void fe_fold_halves(int fid, const u32* lo, const u32* hi, const u32* x,
 void ec_padd(int cid, const u32* p, const u32* q, u32* out, long n, long sq) {
   const Curve& c = g_curves[cid];
   const Field& f = g_fields[c.field_id];
+  #pragma omp parallel for schedule(static)
   for (long i = 0; i < n; ++i)
     pt_store(out + 48 * i, padd(pt_load(p + 48 * i), pt_load(q + 48 * i * sq), c, f));
 }
@@ -412,6 +418,7 @@ void ec_padd(int cid, const u32* p, const u32* q, u32* out, long n, long sq) {
 void ec_pdbl(int cid, const u32* p, u32* out, long n) {
   const Curve& c = g_curves[cid];
   const Field& f = g_fields[c.field_id];
+  #pragma omp parallel for schedule(static)
   for (long i = 0; i < n; ++i)
     pt_store(out + 48 * i, pdbl(pt_load(p + 48 * i), c, f));
 }
@@ -422,6 +429,7 @@ void ec_scalar_mul(int cid, const u32* p, const u32* k_digits, u32* out,
   const Curve& c = g_curves[cid];
   const Field& f = g_fields[c.field_id];
   Fe k = load(k_digits);
+  #pragma omp parallel for schedule(static)
   for (long i = 0; i < n; ++i) {
     Pt base = pt_load(p + 48 * i);
     Pt acc = pt_identity(f);
@@ -460,17 +468,13 @@ void ec_msm(int cid, const u32* scalars, const u32* points, u32* out, long n,
   int c = window_bits;
   int num_windows = (256 + c - 1) / c;
   long num_buckets = (1L << c) - 1;
-  Pt result = pt_identity(f);
-  std::vector<Pt> buckets((size_t)num_buckets);
-  for (int w = num_windows - 1; w >= 0; --w) {
-    if (w != num_windows - 1) {
-      for (int k = 0; k < c; ++k) result = pdbl(result, cv, f);
-    }
-    for (long j = 0; j < num_buckets; ++j) buckets[j] = pt_identity(f);
+  std::vector<Pt> window_sums((size_t)num_windows);
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int w = 0; w < num_windows; ++w) {
+    std::vector<Pt> buckets((size_t)num_buckets, pt_identity(f));
     int bit_off = w * c;
     for (long i = 0; i < n; ++i) {
       const u32* s = scalars + 16 * i;
-      // extract window digits from 16-bit lanes
       u64 val = 0;
       int lane = bit_off / 16, sh = bit_off % 16;
       val = s[lane] >> sh;
@@ -487,7 +491,14 @@ void ec_msm(int cid, const u32* scalars, const u32* points, u32* out, long n,
       running = padd(running, buckets[j], cv, f);
       acc = padd(acc, running, cv, f);
     }
-    result = padd(result, acc, cv, f);
+    window_sums[w] = acc;
+  }
+  Pt result = pt_identity(f);
+  for (int w = num_windows - 1; w >= 0; --w) {
+    if (w != num_windows - 1) {
+      for (int k = 0; k < c; ++k) result = pdbl(result, cv, f);
+    }
+    result = padd(result, window_sums[w], cv, f);
   }
   pt_store(out, result);
 }

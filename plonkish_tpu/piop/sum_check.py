@@ -327,12 +327,97 @@ class Coefficients:
 class EvaluationsProver:
     """General-degree prover: computes the round polynomial's evaluations at
     t=1..d by one vectorized expression evaluation per t (eval.rs semantics,
-    dense representation)."""
+    dense representation).
+
+    In jax mode the whole round message is one jitted function per
+    (expression, size): leaf pair-splitting, the t-loop, the expression DAG,
+    and the tree-sum all fuse into a single XLA program."""
 
     def __init__(self, state: ProverState):
         self.expr = state.expression.simplified(state.challenges)
+        self._round_fns = {}
+
+    def _jax_round_fn(self, state, size):
+        import jax
+
+        d = state.degree
+        spec = state.spec
+        expr = self.expr
+        round_ = state.round
+
+        def fn(tables, id_offset):
+            leaves = {}
+            for key, tbl in tables.items():
+                grid = tbl.reshape(size, 2, -1)
+                lo, hi = grid[:, 0], grid[:, 1]
+                leaves[key] = (hi, limb._sub_jax(spec, hi, lo))
+            from ..fields.spec import int_to_digits as _itd
+
+            id_step = jnp.asarray(
+                _itd(spec.to_mont((1 << round_) % spec.p))
+            )
+            b = jnp.arange(size, dtype=jnp.uint32)
+            digits = jnp.stack([b & 0xFFFF, b >> 16], axis=-1)
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((size, limb.L - 2), dtype=jnp.uint32)],
+                axis=-1,
+            )
+            from ..fields.spec import int_to_digits
+
+            c = ((1 << (round_ + 1)) * spec.r2_mod_p) % spec.p
+            id_base = limb._add_jax(
+                spec,
+                limb._mont_mul_jax(spec, digits, jnp.asarray(int_to_digits(c))),
+                id_offset,
+            )
+            leaves[("identity",)] = (id_base, jnp.broadcast_to(id_step, id_base.shape))
+
+            outs = []
+            current = {k: v for k, (v, _) in leaves.items()}
+            for t in range(1, d + 1):
+                if t > 1:
+                    current = {
+                        k: limb._add_jax(spec, current[k], leaves[k][1])
+                        for k in current
+                    }
+                result = _eval_expression_device(
+                    spec, expr, current, size, force_jax=True
+                )
+                outs.append(limb._sum_reduce_jax(spec, result))
+            return jnp.stack(outs)
+
+        return jax.jit(fn)
+
+    def _prove_round_jax(self, state: ProverState) -> Evaluations:
+        spec = state.spec
+        d = state.degree
+        size = state.size
+        tables = {}
+        for i, tbl in state.lagranges.items():
+            tables[("lagrange", i)] = tbl
+        for idx, tbl in enumerate(state.eq_xys):
+            tables[("eq_xy", idx)] = tbl
+        for key, tbl in state.polys.items():
+            tables[("poly", *key)] = tbl
+        key = (id(self.expr), size, state.round, tuple(sorted(map(str, tables))))
+        if key not in self._round_fns:
+            self._round_fns[key] = self._jax_round_fn(state, size)
+        id_offset = limb.const(
+            spec,
+            (int(state.identity_offset) + (1 << state.round)) % spec.p,
+            mont=True,
+        )
+        totals = self._round_fns[key](tables, id_offset)  # [d, L] Montgomery
+        vals = limb.to_ints(limb.from_mont(spec, totals))
+        evals = [Fp.zero(spec)] * (d + 1)
+        for t in range(1, d + 1):
+            evals[t] = Fp(int(vals[t - 1]), spec)
+        evals[0] = state.sum - evals[1]
+        return Evaluations(evals)
 
     def prove_round(self, state: ProverState) -> Evaluations:
+        if not limb.IS_CPP:
+            return self._prove_round_jax(state)
         spec = state.spec
         d = state.degree
         assert d >= 2
@@ -397,8 +482,23 @@ def _identity_base(spec, size, round_, offset_int):
     return limb.add(spec, base, off)
 
 
-def _eval_expression_device(spec, expr, leaves, size):
-    """Memoized AST evaluation over whole-slice limb tensors."""
+def _eval_expression_device(spec, expr, leaves, size, force_jax=False):
+    """Memoized AST evaluation over whole-slice limb tensors.
+
+    force_jax selects the jitted jax implementations regardless of the
+    process backend (used inside the fused round kernel's trace)."""
+    if force_jax:
+        neg_, add_, mul_ = limb._neg_jax, limb._add_jax, limb._mont_mul_jax
+
+        def cst(c):
+            import jax.numpy as _jnp
+
+            from ..fields.spec import int_to_digits
+
+            return _jnp.asarray(int_to_digits(spec.to_mont(int(c) % spec.p)))
+    else:
+        neg_, add_, mul_ = limb.neg, limb.add, limb.mont_mul
+        cst = lambda c: limb.const(spec, int(c))
 
     def common(cp):
         if isinstance(cp, Identity):
@@ -410,16 +510,16 @@ def _eval_expression_device(spec, expr, leaves, size):
         raise TypeError(cp)
 
     return expr.evaluate(
-        lambda c: limb.const(spec, int(c)),
+        cst,
         common,
         lambda q: leaves[("poly", q.poly, q.rotation.value)],
         lambda idx: (_ for _ in ()).throw(
             AssertionError("challenges must be substituted")
         ),
-        lambda a: limb.neg(spec, a),
-        lambda a, b: limb.add(spec, a, b),
-        lambda a, b: limb.mont_mul(spec, a, b),
-        lambda a, s: limb.mont_mul(spec, a, limb.const(spec, int(s))),
+        lambda a: neg_(spec, a),
+        lambda a, b: add_(spec, a, b),
+        lambda a, b: mul_(spec, a, b),
+        lambda a, s: mul_(spec, a, cst(s)),
     )
 
 

@@ -96,3 +96,33 @@ def test_ec_equivalence():
         asnp(pdbl(curve, dev)),
         asnp(_pdbl_jax(curve, jnp.asarray(asnp(dev)))),
     )
+
+
+def test_sum_check_round_equivalence():
+    """The fused JAX round kernel must produce the same round message as the
+    native-path round evaluation (one tiny shape -> one compile)."""
+    from plonkish_tpu.fields import Fp
+    from plonkish_tpu.piop.sum_check import (
+        EvaluationsProver,
+        ProverState,
+        VirtualPolynomial,
+    )
+    from plonkish_tpu.poly.multilinear import MLPoly
+    from plonkish_tpu.utils import expression as ex
+    from plonkish_tpu.utils.expression import Query
+
+    num_vars = 3
+    f = [Fp(RNG.randrange(SPEC.p), SPEC) for _ in range(1 << num_vars)]
+    g = [Fp(RNG.randrange(SPEC.p), SPEC) for _ in range(1 << num_vars)]
+    expr = (
+        ex.Polynomial(Query(0)) * ex.Polynomial(Query(1)) + ex.identity()
+    ) * ex.eq_xy(0) + ex.lagrange(1) * ex.Polynomial(Query(0, ex.Rotation(1)))
+    polys = [MLPoly.from_fps(SPEC, f), MLPoly.from_fps(SPEC, g)]
+    y = [Fp(RNG.randrange(SPEC.p), SPEC) for _ in range(num_vars)]
+    vp = VirtualPolynomial(expr, polys, [], [y])
+    state = ProverState(SPEC, num_vars, Fp(12345, SPEC), vp)
+    prover = EvaluationsProver(state)
+
+    cpp_msg = prover.prove_round(state)  # cpp path (suite default backend)
+    jax_msg = prover._prove_round_jax(state)
+    assert [int(v) for v in cpp_msg.values] == [int(v) for v in jax_msg.values]
