@@ -178,9 +178,12 @@ def variable_base_msm(
     c = window_size(n)
     num_windows = -(-curve.scalar.num_bits // c)
     if num_chunks is None:
-        # bucket tensor is [W, C, 2^c, 3, L] u32 — budget ~512 MB
+        # bucket tensor is [W, C, 2^c, 3, L] u32.  The padd tree over the
+        # chunk axis materializes ~10 REDC column temps per fused mont_mul
+        # (each ~2.2x the operand, plus TPU tile padding), so the budget
+        # must leave ~30x headroom against HBM: keep the tensor <= 48 MB.
         per_chunk = num_windows * (1 << c) * 3 * limb.L * 4
-        num_chunks = max(1, min(512 * 2**20 // per_chunk, n // 4))
+        num_chunks = max(1, min(48 * 2**20 // per_chunk, n // 4))
     windows = _msm_windows_jit(
         curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows,
         num_chunks,

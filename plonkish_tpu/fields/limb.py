@@ -228,18 +228,18 @@ def _mul_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Anti-diagonal sums built from L statically-shifted row copies — pure
     pads/adds, no gathers (XLA CPU gathers serialize; TPU prefers shifts too).
     """
-    prod = a[..., :, None] * b[..., None, :]  # [.., L, L]
-    lo = prod & MASK
-    hi = prod >> W
-    nd = prod.ndim
+    nd = a.ndim
     acc = None
     for i in range(L):
-        # row i of lo contributes to cols i..i+L-1; row i of hi to i+1..i+L
-        r = jnp.pad(lo[..., i, :], [(0, 0)] * (nd - 2) + [(i, L + 1 - i)])
+        # row i of the schoolbook product: a_i * b, lo into cols i..i+L-1,
+        # hi into cols i+1..i+L.  Accumulating row-by-row avoids the 16x
+        # [.., L, L] intermediate (which OOMs on bucket-wide operands).
+        prod = a[..., i: i + 1] * b  # [.., L] u32
+        lo = prod & MASK
+        hi = prod >> W
+        r = jnp.pad(lo, [(0, 0)] * (nd - 1) + [(i, L + 1 - i)])
         acc = r if acc is None else acc + r
-        acc = acc + jnp.pad(
-            hi[..., i, :], [(0, 0)] * (nd - 2) + [(i + 1, L - i)]
-        )
+        acc = acc + jnp.pad(hi, [(0, 0)] * (nd - 1) + [(i + 1, L - i)])
     return acc
 
 

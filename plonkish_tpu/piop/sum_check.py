@@ -232,11 +232,32 @@ class ProverState:
         self.sum = sum_
         self.identity_offset = self.identity_offset + challenge * (1 << self.round)
         c = limb.const(spec, int(challenge))
-        self.lagranges = {
-            i: _fix(spec, v, c) for i, v in self.lagranges.items()
-        }
-        self.eq_xys = [_fix(spec, v, c) for v in self.eq_xys]
-        self.polys = {k: _fix(spec, v, c) for k, v in self.polys.items()}
+        if not limb.IS_CPP:
+            # fold every table in ONE device call (per-op dispatch costs a
+            # network RTT on the tunneled TPU)
+            tables = {
+                ("lagrange", i): v for i, v in self.lagranges.items()
+            }
+            tables.update(
+                {("eq_xy", i): v for i, v in enumerate(self.eq_xys)}
+            )
+            tables.update({("poly", *k): v for k, v in self.polys.items()})
+            folded = _fold_all_jax(spec, tables, c)
+            self.lagranges = {
+                i: folded[("lagrange", i)] for i in self.lagranges
+            }
+            self.eq_xys = [
+                folded[("eq_xy", i)] for i in range(len(self.eq_xys))
+            ]
+            self.polys = {
+                k: folded[("poly", *k)] for k in self.polys
+            }
+        else:
+            self.lagranges = {
+                i: _fix(spec, v, c) for i, v in self.lagranges.items()
+            }
+            self.eq_xys = [_fix(spec, v, c) for v in self.eq_xys]
+            self.polys = {k: _fix(spec, v, c) for k, v in self.polys.items()}
         self.round += 1
 
     def into_evals(self) -> List[Fp]:
@@ -246,6 +267,18 @@ class ProverState:
         stack = limb.xnp.concatenate([self.polys[(p, 0)] for p in idxs], axis=0)
         vals = limb.to_ints(limb.from_mont(self.spec, stack))
         return [Fp(int(v), self.spec) for v in vals]
+
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnums=0)
+def _fold_all_jax(spec, tables, challenge):
+    return {
+        k: limb._fold_pairs_jax(spec, v, challenge) for k, v in tables.items()
+    }
 
 
 def _eq_xy_table(spec, y):
