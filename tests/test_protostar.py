@@ -76,3 +76,35 @@ def test_sangria_vanilla_plonk():
 
 def test_sangria_vanilla_plonk_with_lookup():
     run_accumulation_scheme(Sangria(MultilinearKzg()), 4, lookup_fn)
+
+
+def test_accumulator_checkpoint_resume():
+    """Fold one step, checkpoint the accumulator, resume in a new object,
+    continue folding + decide (the reference's IVC checkpoint story:
+    protostar.rs:179-187 Serialize)."""
+    from plonkish_tpu.utils import serde
+
+    scheme = Protostar(MultilinearKzg())
+    spec = scheme.pcs.field_spec
+    circuit_info, _ = vanilla_fn(spec, 3, 0)
+    circuits = [vanilla_fn(spec, 3, 100 + i)[1] for i in range(3)]
+    param = scheme.setup(circuit_info, random.Random(0))
+    pp, vp = scheme.preprocess(param, circuit_info)
+
+    acc = scheme.init_accumulator(pp)
+    scheme.prove_accumulation_from_nark(
+        pp, acc, circuits[0], Keccak256Transcript(spec)
+    )
+    blob = serde.save(acc)
+    acc2 = serde.load(blob)
+
+    scheme.prove_accumulation_from_nark(
+        pp, acc2, circuits[1], Keccak256Transcript(spec)
+    )
+    before_last = acc2.instance.clone()
+    t = Keccak256Transcript(spec)
+    scheme.prove_decider_with_last_nark(pp, acc2, circuits[2], t)
+    r = Keccak256Transcript.from_proof(spec, t.into_proof())
+    scheme.verify_decider_with_last_nark(
+        vp, before_last, circuits[2].instances(), r
+    )
