@@ -1,11 +1,11 @@
 """Benchmark entry point — prints ONE JSON line.
 
-Round-1 headline: modular-multiplication throughput of the JAX/XLA device
-kernel (the substrate under MSM, sum-check, and every other prover loop),
-measured on the default JAX device (the TPU under the driver), with the
-native single-core C++ host runtime as the baseline column.
+Headline metric (BASELINE.json): MSM throughput on the JAX device (the TPU
+under the driver), with the native multicore C++ host runtime as the baseline
+column.  Falls back to modular-multiplication throughput if the MSM path
+cannot complete within the time budget (e.g. cold compile cache).
 
-Usage: python bench.py [--batch LOG2] [--iters N]
+Usage: python bench.py [--msm-log2 N] [--budget SECONDS] [--fieldmul-only]
 """
 
 from __future__ import annotations
@@ -14,65 +14,141 @@ import argparse
 import json
 import os
 import random
-import sys
+import signal
 import time
 
 os.environ.setdefault("PLONKISH_TPU_BACKEND", "jax")
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=18, help="log2 batch size")
-    ap.add_argument("--iters", type=int, default=30)
-    args = ap.parse_args()
+class _Timeout(Exception):
+    pass
 
+
+def _alarm(_sig, _frm):
+    raise _Timeout
+
+
+def bench_msm(log2n: int, budget: int):
+    """Returns (device_pts_per_s, native_pts_per_s) or raises."""
+    import jax
+
+    from plonkish_tpu.curves import msm as msm_mod
+    from plonkish_tpu.curves.device import from_affine_host
+    from plonkish_tpu.curves.host import AffinePoint
+    from plonkish_tpu.curves.specs import BN254_G1
+    from plonkish_tpu.fields import limb
+    from plonkish_tpu.ops import field_cpp
+
+    rng = random.Random(0)
+    curve = BN254_G1
+    g = AffinePoint.generator(curve)
+    base_pts = [
+        g.scalar_mul(rng.randrange(1, curve.scalar.p)) for _ in range(64)
+    ]
+    n = 1 << log2n
+    pts = from_affine_host(curve, base_pts * (n // 64))
+    pts_np = limb.np.asarray(pts, dtype=limb.np.uint32)
+    scalars = limb.from_ints(
+        [rng.randrange(curve.scalar.p) for _ in range(n)]
+    )
+    scalars_np = limb.np.asarray(scalars, dtype=limb.np.uint32)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(budget)
+    try:
+        res = msm_mod.variable_base_msm(curve, scalars, pts)  # compile+warm
+        t0 = time.perf_counter()
+        res2 = msm_mod.variable_base_msm(curve, scalars, pts)
+        dt = time.perf_counter() - t0
+    finally:
+        signal.alarm(0)
+    assert res == res2
+    device_pps = n / dt
+
+    # native baseline (all cores)
+    from plonkish_tpu.curves.device import to_affine_host
+
+    out = field_cpp.ec_msm(curve, scalars_np, pts_np.reshape(n, 3, limb.L))
+    t0 = time.perf_counter()
+    out = field_cpp.ec_msm(curve, scalars_np, pts_np.reshape(n, 3, limb.L))
+    dt_host = time.perf_counter() - t0
+    native_pps = n / dt_host
+    return device_pps, native_pps
+
+
+def bench_fieldmul(log2n: int, iters: int):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from plonkish_tpu.fields import BN254_FR as spec
     from plonkish_tpu.fields import limb
     from plonkish_tpu.ops import field_cpp
 
-    n = 1 << args.batch
+    n = 1 << log2n
     rng = random.Random(0)
-    # build inputs host-side, transfer once
-    import numpy as np
-
-    vals = np.empty((2 * n, limb.L), dtype=np.uint32)
-    host = limb.from_ints([rng.randrange(spec.p) for _ in range(4096)])
-    host_np = np.asarray(host, dtype=np.uint32)
-    reps = (2 * n + 4095) // 4096
-    vals = np.tile(host_np, (reps, 1))[: 2 * n]
+    host = np.asarray(
+        limb.from_ints([rng.randrange(spec.p) for _ in range(4096)]),
+        dtype=np.uint32,
+    )
+    vals = np.tile(host, ((2 * n + 4095) // 4096, 1))[: 2 * n]
     a_np, b_np = vals[:n], vals[n:]
 
-    # --- device throughput ---
-    a = jnp.asarray(a_np)
-    b = jnp.asarray(b_np)
+    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
     f = jax.jit(lambda x, y: limb._mont_mul_jax(spec, x, y))
-    f(a, b).block_until_ready()  # compile
+    f(a, b).block_until_ready()
     t0 = time.perf_counter()
     out = a
-    for _ in range(args.iters):
+    for _ in range(iters):
         out = f(out, b)
     out.block_until_ready()
-    dt = time.perf_counter() - t0
-    device_mps = n * args.iters / dt / 1e6
+    device_mps = n * iters / (time.perf_counter() - t0)
 
-    # --- native host baseline (single core) ---
-    fid_warm = field_cpp.mul(spec, a_np[:1024], b_np[:1024])
+    field_cpp.mul(spec, a_np[:1024], b_np[:1024])
     t0 = time.perf_counter()
-    iters_host = max(1, args.iters // 6)
-    for _ in range(iters_host):
+    for _ in range(max(1, iters // 6)):
         field_cpp.mul(spec, a_np, b_np)
-    dt_host = time.perf_counter() - t0
-    host_mps = n * iters_host / dt_host / 1e6
+    host_mps = n * max(1, iters // 6) / (time.perf_counter() - t0)
+    return device_mps, host_mps
 
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--msm-log2", type=int, default=18)
+    ap.add_argument("--budget", type=int, default=480)
+    ap.add_argument("--fieldmul-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/plonkish_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     backend = jax.default_backend()
+
+    if not args.fieldmul_only:
+        try:
+            device_pps, native_pps = bench_msm(args.msm_log2, args.budget)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"bn254_msm_2^{args.msm_log2}_throughput[{backend}]",
+                        "value": round(device_pps, 1),
+                        "unit": "points/s",
+                        "vs_baseline": round(device_pps / native_pps, 3),
+                    }
+                )
+            )
+            return
+        except Exception:
+            pass
+
+    device_mps, host_mps = bench_fieldmul(16, 30)
     print(
         json.dumps(
             {
                 "metric": f"bn254_fr_mont_mul_throughput[{backend}]",
-                "value": round(device_mps, 3),
+                "value": round(device_mps / 1e6, 3),
                 "unit": "Mmul/s",
                 "vs_baseline": round(device_mps / host_mps, 3),
             }

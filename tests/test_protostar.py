@@ -108,3 +108,19 @@ def test_accumulator_checkpoint_resume():
     scheme.verify_decider_with_last_nark(
         vp, before_last, circuits[2].instances(), r
     )
+
+
+@pytest.mark.parametrize("pcs_name", ["ipa", "gemini", "zeromorph"])
+def test_protostar_other_pcs(pcs_name):
+    """Protostar over the reference's PCS matrix
+    (protostar/hyperplonk.rs:650-653)."""
+    from plonkish_tpu.pcs.gemini import Gemini
+    from plonkish_tpu.pcs.ipa import MultilinearIpa
+    from plonkish_tpu.pcs.zeromorph import Zeromorph
+
+    pcs = {
+        "ipa": MultilinearIpa,
+        "gemini": Gemini,
+        "zeromorph": Zeromorph,
+    }[pcs_name]()
+    run_accumulation_scheme(Protostar(pcs), 4, vanilla_fn)
