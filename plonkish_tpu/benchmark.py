@@ -30,11 +30,19 @@ def _sample_size(k: int) -> int:
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--system", default="hyperplonk", choices=["hyperplonk"])
+    ap.add_argument(
+        "--system",
+        default="hyperplonk",
+        choices=["hyperplonk", "protostar", "sangria"],
+        help="protostar/sangria time the per-step accumulation fold "
+        "(reference Protostar::prove_accumulation_from_nark, "
+        "accumulation/protostar/hyperplonk.rs:241-331) instead of a "
+        "one-shot HyperPlonk proof",
+    )
     ap.add_argument(
         "--circuit",
         default="vanilla_plonk",
-        choices=["vanilla_plonk", "vanilla_plonk_with_lookup"],
+        choices=["vanilla_plonk", "vanilla_plonk_with_lookup", "sha256"],
     )
     ap.add_argument("--k", default="8..10", help="range, e.g. 8..12")
     ap.add_argument(
@@ -84,9 +92,25 @@ def main(argv=None) -> None:
 
         return MultilinearHyrax()
 
+    def rand_sha256(spec, k, _rng, _rng2):
+        # as many chained 512-bit blocks as fit in 2^k rows
+        # (reference sha256 bench: benchmark proof_system.rs:61-77)
+        from plonkish_tpu.models.sha256 import (
+            message_for_blocks,
+            sha256_circuit,
+        )
+
+        m = ((1 << k) - 10) // 140
+        assert m >= 1, f"k={k} too small for one sha256 block"
+        info, circuit, _ = sha256_circuit(
+            message_for_blocks(m, seed=42), k=k, spec=spec
+        )
+        return info, circuit
+
     circuit_fn = {
         "vanilla_plonk": rand_vanilla_plonk_circuit,
         "vanilla_plonk_with_lookup": rand_vanilla_plonk_with_lookup_circuit,
+        "sha256": rand_sha256,
     }[args.circuit]
 
     lo, hi = args.k.split("..")
@@ -96,6 +120,40 @@ def main(argv=None) -> None:
     out_path = f"target/bench/{args.system}"
     if args.breakdown:
         timer.set_enabled(True)
+
+    if args.system in ("protostar", "sangria"):
+        from plonkish_tpu.accumulation.protostar import Protostar, Sangria
+
+        scheme_cls = Protostar if args.system == "protostar" else Sangria
+        for k in ks:
+            pcs = make_pcs(args.pcs)
+            spec = pcs.field_spec
+            circuit_info, _ = circuit_fn(
+                spec, k, random.Random(42), random.Random(4242)
+            )
+            scheme = scheme_cls(pcs)
+            param = scheme.setup(circuit_info, random.Random(0))
+            pp, vp = scheme.preprocess(param, circuit_info)
+            accumulator = scheme.init_accumulator(pp)
+            samples = max(2, (args.samples or _sample_size(k)) // 2)
+            fold_times = []
+            for i in range(samples):
+                _, circuit = circuit_fn(
+                    spec, k, random.Random(42), random.Random(1000 + i)
+                )
+                t0 = time.perf_counter()
+                scheme.prove_accumulation_from_nark(
+                    pp, accumulator, circuit, Keccak256Transcript(spec)
+                )
+                fold_times.append(time.perf_counter() - t0)
+            avg_ms = sum(fold_times) / len(fold_times) * 1e3
+            with open(out_path, "a") as f:
+                f.write(f"{k}, {avg_ms:.3f}\n")
+            print(
+                f"k={k} {args.system} fold avg {avg_ms:.1f} ms "
+                f"({len(fold_times)} folds)"
+            )
+        return
 
     for k in ks:
         pcs = make_pcs(args.pcs)

@@ -1,0 +1,36 @@
+"""Configuration / flag system (reference Cargo features + env,
+SURVEY.md §5 "Config / flag system": `default = [parallel, timer]`,
+`sanity-check`, `benchmark` features in plonkish_backend/Cargo.toml).
+
+The reference's compile-time Cargo features become process-level environment
+flags here, read once at import.  All knobs in one place:
+
+| Env var                  | Values        | Meaning                         |
+|--------------------------|---------------|---------------------------------|
+| PLONKISH_TPU_BACKEND     | cpp (tests) / jax | execution backend for field/EC kernels: native multicore C++ runtime vs XLA (TPU) |
+| PLONKISH_TPU_TIMER       | 0/1           | hierarchical timing spans (reference `timer` feature / ark-std print-trace) |
+| PLONKISH_TPU_SANITY      | 0/1           | extra O(2^k) self-checks in provers (reference `sanity-check` feature) |
+| JAX_PLATFORMS            | axon/cpu      | forced to `axon` (tunneled TPU) by this container; CPU runs must call `jax.config.update("jax_platforms", "cpu")` — the env var alone is overridden by sitecustomize |
+
+`parallel` has no flag: intra-chip parallelism is XLA vectorization / OpenMP
+in the native runtime, inter-chip is `jax.sharding` (see parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def backend() -> str:
+    """'cpp' or 'jax' — which kernel family executes field/EC ops."""
+    return os.environ.get("PLONKISH_TPU_BACKEND", "jax")
+
+
+def timer_enabled() -> bool:
+    return os.environ.get("PLONKISH_TPU_TIMER", "0") == "1"
+
+
+def sanity_checks() -> bool:
+    """Gate for expensive internal assertions (reference `sanity-check`
+    feature, e.g. sum-check claimed-sum validation at prove time)."""
+    return os.environ.get("PLONKISH_TPU_SANITY", "0") == "1"

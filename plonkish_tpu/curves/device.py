@@ -111,6 +111,51 @@ def _padd_jax(curve: CurveSpec, p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x3_out, y3_out, z3_out], axis=-2)
 
 
+def identity_wide(curve: CurveSpec, shape=()) -> jnp.ndarray:
+    """(0 : 1 : 0) in digit-major layout [3, L, *shape]."""
+    import numpy as np
+
+    base = np.zeros((3, limb.L), dtype=np.uint32)
+    base[1] = np.asarray(curve.base.r_digits, dtype=np.uint32)  # Mont one
+    arr = jnp.asarray(base).reshape(3, limb.L, *([1] * len(shape)))
+    return jnp.broadcast_to(arr, (3, limb.L, *shape))
+
+
+def _padd_wide(curve: CurveSpec, p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Complete projective addition in digit-major layout: p, q and the
+    result are [3, L, ...batch].  Same RCB16 Alg. 7 dataflow as `_padd_jax`
+    but built on the `_*_wide` limb ops, so no transposes appear anywhere in
+    the fused kernel and the minor axes stay large (tile-friendly)."""
+    spec = curve.base
+    mul = functools.partial(limb._mont_mul_wide, spec)
+    add = functools.partial(limb._add_wide, spec)
+    sub = functools.partial(limb._sub_wide, spec)
+    b3 = limb._to_wide(limb.const(spec, curve.b3))
+    b3 = b3.reshape(limb.L, *([1] * (p.ndim - 2)))
+
+    x1, y1, z1 = p[0], p[1], p[2]
+    x2, y2, z2 = q[0], q[1], q[2]
+
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t2 = mul(z1, z2)
+    t3 = mul(add(x1, y1), add(x2, y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mul(add(y1, z1), add(y2, z2))
+    t4 = sub(t4, add(t1, t2))
+    x3 = mul(add(x1, z1), add(x2, z2))
+    y3 = sub(x3, add(t0, t2))
+    x3 = add(add(t0, t0), t0)
+    t2 = mul(b3 + jnp.zeros_like(t2), t2)
+    z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = mul(b3 + jnp.zeros_like(y3), y3)
+    x3_out = sub(mul(t3, t1), mul(t4, y3))
+    y3_out = add(mul(y3, x3), mul(t1, z3))
+    z3_out = add(mul(z3, t4), mul(x3, t3))
+    return jnp.stack([x3_out, y3_out, z3_out], axis=0)
+
+
 def pdbl(curve: CurveSpec, p: jnp.ndarray) -> jnp.ndarray:
     if limb.IS_CPP:
         from ..ops import field_cpp as _cpp

@@ -3,15 +3,20 @@
 Pippenger re-designed for SIMD-without-atomics (reference serial version:
 /root/reference/plonkish_backend/src/util/arithmetic/msm.rs:84-181):
 
-1. window digits extracted from 16-bit scalar limbs on device;
-2. bucket accumulation over a [num_windows, num_chunks, num_buckets] tensor:
-   a `fori_loop` walks each chunk serially; every (window, chunk) lane reads
-   its bucket with a dense one-hot masked-reduce over the (small) bucket
-   axis, complete-adds the point, and writes back with a one-hot select.
-   TPUs have no atomics and XLA scatters serialize, so the bucket axis is
-   kept narrow (2^c) and touched densely — pure streaming VPU traffic,
-   2·n·W·2^c point-rows total; complete formulas make collisions/doubling/
-   identity branch-free;
+1. signed window digits (d' ∈ [−2^(c−1), 2^(c−1)], carry-propagated)
+   extracted from 16-bit scalar limbs on device — halves the bucket count
+   vs unsigned windows at the cost of a per-point conditional Y negation;
+2. bucket accumulation over a digit-major [3, L, W, B, C] tensor
+   (B = 2^(c−1)+1 buckets, C parallel chunks): a `fori_loop` walks each
+   chunk serially; every (window, chunk) lane reads its bucket with a dense
+   one-hot masked-reduce over the (small) bucket axis, complete-adds the
+   point, and writes back with a one-hot select.  TPUs have no atomics and
+   XLA scatters serialize, so the bucket axis is kept narrow and touched
+   densely — pure streaming VPU traffic; complete formulas make collisions/
+   doubling/identity branch-free.  The digit-major layout keeps the minor
+   two axes (B, C) large, so XLA's (8, 128) tiling pads ~1.4x instead of
+   the 8x it costs on a [..., 3, 16] layout — which is what bounds C, and
+   with it the loop trip count;
 3. chunk axis folded by a pairwise padd tree;
 4. per-window weighted bucket sum via the running-sum trick (fori_loop);
 5. final window combination on host (W points, c doublings each).
@@ -54,9 +59,14 @@ def window_size(num_scalars: int) -> int:
 
 
 def _window_digits(scalars, c: int, num_windows: int):
-    """[N, 16] canonical scalar digits -> [num_windows, N] bucket indices."""
-    xnp = limb.xnp
+    """[N, 16] canonical scalar digits -> [num_windows, N] bucket indices.
+
+    Dispatches on the operand (not the global backend) so it works both
+    eagerly on numpy under the cpp backend and inside a jit trace (the
+    sharded MSM traces this even when the ambient backend is cpp)."""
     import numpy as np
+
+    xnp = np if isinstance(scalars, np.ndarray) else jnp
 
     padded = xnp.concatenate(
         [scalars, xnp.zeros((scalars.shape[0], 2), dtype=np.uint32)], axis=1
@@ -75,86 +85,146 @@ def _window_digits(scalars, c: int, num_windows: int):
     return xnp.stack(outs, axis=0).astype(np.int32)
 
 
-def _bucket_accumulate(curve, points, digits, c, num_chunks):
-    """points [N,3,L], digits [W,N] -> buckets [W, B, 3, L]."""
-    n = points.shape[0]
-    w = digits.shape[0]
-    b = 1 << c
+def _signed_window_digits(scalars, c: int, num_windows: int):
+    """[N, 16] canonical digits -> (idx [W, N] in [0, 2^(c-1)],
+    sign [W, N] bool): signed-digit recoding d' ∈ [−2^(c−1), 2^(c−1)] with
+    carry propagation, halving the bucket count (bucket 0 has weight 0 and
+    absorbs zero digits harmlessly)."""
+    raw = _window_digits(scalars, c, num_windows)  # [W, N] int32
+    half = 1 << (c - 1)
+    full = 1 << c
+    outs_idx, outs_sign = [], []
+    carry = jnp.zeros(raw.shape[1:], dtype=jnp.int32)
+    for w in range(num_windows):
+        d = raw[w] + carry
+        neg = d >= half  # d' = d - 2^c, |d'| = 2^c - d
+        idx = jnp.where(neg, full - d, d)
+        outs_idx.append(idx)
+        outs_sign.append(neg)
+        carry = neg.astype(jnp.int32)
+    return jnp.stack(outs_idx, axis=0), jnp.stack(outs_sign, axis=0)
+
+
+def _bucket_accumulate_wide(curve, points_w, idx, sign, c, num_chunks):
+    """points_w [3, L, N] digit-major, idx/sign [W, N] ->
+    buckets [3, L, W, B, C] with B = 2^(c-1)+1.
+
+    Everything stays digit-major: the minor two axes of every stored tensor
+    are (B, C) or (W, C) — large and tile-friendly — instead of (3, 16),
+    which XLA would pad 8x on TPU."""
+    from .device import _padd_wide, identity_wide
+
+    spec = curve.base
+    n = points_w.shape[-1]
+    w = idx.shape[0]
+    b = (1 << (c - 1)) + 1
     chunk_len = -(-n // num_chunks)
     pad = num_chunks * chunk_len - n
     if pad:
-        points = jnp.concatenate(
-            [points, jnp.broadcast_to(identity(curve), (pad, 3, limb.L))],
+        points_w = jnp.concatenate(
+            [points_w, identity_wide(curve, (pad,))], axis=-1
+        )
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((w, pad), dtype=jnp.int32)], axis=1
+        )
+        sign = jnp.concatenate(
+            [sign, jnp.zeros((w, pad), dtype=bool)], axis=1
+        )
+    points_w = points_w.reshape(3, limb.L, num_chunks, chunk_len)
+    idx = idx.reshape(w, num_chunks, chunk_len)
+    sign = sign.reshape(w, num_chunks, chunk_len)
+
+    buckets = jnp.broadcast_to(
+        identity_wide(curve).reshape(3, limb.L, 1, 1, 1),
+        (3, limb.L, w, b, num_chunks),
+    )
+    iota_b = jnp.arange(b, dtype=jnp.int32)
+
+    def body(t, buckets):
+        pt = points_w[:, :, :, t]  # [3, L, C]
+        ix = idx[:, :, t]  # [W, C]
+        sg = sign[:, :, t]  # [W, C]
+        yneg = limb._neg_wide(spec, pt[1])  # [L, C]
+        y_signed = jnp.where(
+            sg[None], yneg[:, None, :], pt[1][:, None, :]
+        )  # [L, W, C]
+        pt_signed = jnp.stack(
+            [
+                jnp.broadcast_to(pt[0][:, None, :], y_signed.shape),
+                y_signed,
+                jnp.broadcast_to(pt[2][:, None, :], y_signed.shape),
+            ],
             axis=0,
+        )  # [3, L, W, C]
+        onehot = iota_b[None, :, None] == ix[:, None, :]  # [W, B, C]
+        mask = onehot[None, None]  # [1, 1, W, B, C]
+        cur = jnp.sum(
+            jnp.where(mask, buckets, jnp.uint32(0)), axis=3
+        )  # [3, L, W, C]
+        new = _padd_wide(curve, cur, pt_signed)
+        return jnp.where(mask, new[:, :, :, None, :], buckets)
+
+    buckets = jax.lax.fori_loop(0, chunk_len, body, buckets)
+
+    # Fold the chunk axis with a shape-stable butterfly: at step s every
+    # chunk lane adds its partner at XOR distance 2^s.  log2(C) fori steps
+    # over a single padd instance — one compiled body instead of a log2(C)-
+    # deep unrolled tree (XLA compile time on this kernel is dominated by
+    # the number of distinct padd instantiations, not the math).
+    cpad = 1 << max(0, (num_chunks - 1).bit_length())
+    if cpad != num_chunks:
+        pad_b = jnp.broadcast_to(
+            identity_wide(curve).reshape(3, limb.L, 1, 1, 1),
+            (3, limb.L, w, b, cpad - num_chunks),
         )
-        digits = jnp.concatenate(
-            [digits, jnp.zeros((w, pad), dtype=jnp.int32)], axis=1
-        )
-    points = points.reshape(num_chunks, chunk_len, 3, limb.L)
-    digits = digits.reshape(w, num_chunks, chunk_len)
+        buckets = jnp.concatenate([buckets, pad_b], axis=-1)
+    iota_c = jnp.arange(cpad, dtype=jnp.int32)
 
-    def run(curve, points, digits):
-        buckets = jnp.broadcast_to(
-            identity(curve), (w, num_chunks, b, 3, limb.L)
-        ).copy()
-        iota_b = jnp.arange(b, dtype=jnp.int32)
+    def fold_body(s, buckets):
+        stride = jnp.left_shift(jnp.int32(1), s)
+        partner = jnp.take(buckets, iota_c ^ stride, axis=-1)
+        summed = _padd_wide(curve, buckets, partner)
+        live = (iota_c & stride) == 0
+        return jnp.where(live[None, None, None, None, :], summed, buckets)
 
-        def body(t, buckets):
-            pt = points[:, t]  # [num_chunks, 3, L]
-            idx = digits[:, :, t]  # [w, num_chunks]
-            onehot = (iota_b[None, None, :] == idx[:, :, None])  # [w, C, b]
-            mask = onehot[..., None, None]
-            # dense gather: exactly one bucket row survives the masked sum
-            cur = jnp.sum(
-                jnp.where(mask, buckets, jnp.uint32(0)), axis=2
-            )  # [w, C, 3, L]
-            new = _padd_jax(curve, cur, pt[None])
-            return jnp.where(mask, new[:, :, None], buckets)
-
-        buckets = jax.lax.fori_loop(0, chunk_len, body, buckets)
-        # fold the chunk axis with a padd tree
-        while buckets.shape[1] > 1:
-            m = buckets.shape[1]
-            if m % 2:
-                pad_b = jnp.broadcast_to(
-                    identity(curve), (w, 1, b, 3, limb.L)
-                )
-                buckets = jnp.concatenate([buckets, pad_b], axis=1)
-            buckets = _padd_jax(curve, buckets[:, 0::2], buckets[:, 1::2])
-        return buckets[:, 0]  # [w, b, 3, L]
-
-    return run(curve, points, digits)
+    buckets = jax.lax.fori_loop(0, cpad.bit_length() - 1, fold_body, buckets)
+    return buckets[..., 0]  # [3, L, W, B]
 
 
-def _bucket_reduce(curve, buckets):
-    """[W, B, 3, L] -> [W, 3, L]: Σ_j j·bucket[j] via running sums
-    (msm.rs:166-179)."""
-    w, b = buckets.shape[0], buckets.shape[1]
-    running = jnp.broadcast_to(identity(curve), (w, 3, limb.L))
-    acc = running
+def _bucket_reduce_wide(curve, buckets):
+    """[3, L, W, B] -> [W, 3, L]: Σ_j j·bucket[j] via running sums
+    (msm.rs:166-179); bucket 0 is skipped (weight 0)."""
+    from .device import _padd_wide, identity_wide
+
+    w, b = buckets.shape[2], buckets.shape[3]
+    init = jnp.broadcast_to(
+        identity_wide(curve).reshape(3, limb.L, 1), (3, limb.L, w)
+    )
 
     def body(i, carry):
         running, acc = carry
         j = b - 1 - i
-        running = _padd_jax(curve, running, buckets[:, j])
-        acc = _padd_jax(curve, acc, running)
+        bj = jax.lax.dynamic_index_in_dim(buckets, j, axis=3, keepdims=False)
+        running = _padd_wide(curve, running, bj)
+        acc = _padd_wide(curve, acc, running)
         return (running, acc)
 
-    running, acc = jax.lax.fori_loop(0, b - 1, body, (running, acc))
-    return acc
+    _, acc = jax.lax.fori_loop(0, b - 1, body, (init, init))
+    return jnp.transpose(acc, (2, 0, 1))  # [W, 3, L]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _msm_windows_jit(curve, inputs, c, num_windows, num_chunks):
-    """Fully fused MSM window sums: ONE device call computes window digits,
-    dense bucket accumulation, the chunk-axis padd tree, and the weighted
-    bucket reduction.  (Per-op dispatch costs a network RTT on the tunneled
-    TPU, so everything between host scalars and the [W,3,L] window sums must
-    be a single program.)"""
+    """Fully fused MSM window sums: ONE device call computes signed window
+    digits, dense bucket accumulation, the chunk-axis padd tree, and the
+    weighted bucket reduction.  (Per-op dispatch costs a network RTT on the
+    tunneled TPU, so everything between host scalars and the [W,3,L] window
+    sums must be a single program.)"""
     scalars, points = inputs
-    digits = _window_digits(scalars, c, num_windows)
-    buckets = _bucket_accumulate(curve, points, digits, c, num_chunks)
-    return _bucket_reduce(curve, buckets)
+    idx, sign = _signed_window_digits(scalars, c, num_windows)
+    points_w = jnp.transpose(points, (1, 2, 0))  # [3, L, N]
+    buckets = _bucket_accumulate_wide(curve, points_w, idx, sign, c, num_chunks)
+    return _bucket_reduce_wide(curve, buckets)
 
 
 def variable_base_msm(
@@ -176,14 +246,16 @@ def variable_base_msm(
         out = _cpp.ec_msm(curve, scalars, points.reshape(n, 3, limb.L))
         return to_affine_host(curve, out[None])[0]
     c = window_size(n)
-    num_windows = -(-curve.scalar.num_bits // c)
+    # signed digits need one extra window for the final recoding carry
+    num_windows = -(-curve.scalar.num_bits // c) + 1
     if num_chunks is None:
-        # bucket tensor is [W, C, 2^c, 3, L] u32.  The padd tree over the
-        # chunk axis materializes ~10 REDC column temps per fused mont_mul
-        # (each ~2.2x the operand, plus TPU tile padding), so the budget
-        # must leave ~30x headroom against HBM: keep the tensor <= 48 MB.
-        per_chunk = num_windows * (1 << c) * 3 * limb.L * 4
-        num_chunks = max(1, min(48 * 2**20 // per_chunk, n // 4))
+        # bucket tensor is [3, L, W, B, C] u32 with B = 2^(c-1)+1.  C is a
+        # power of two (the chunk fold is an XOR butterfly, and padding C up
+        # would double the tensor); XLA's temp layouts cost up to ~3.5x in
+        # tile padding, so a ~256 MB unpadded tensor is the safe HBM budget.
+        per_chunk = 3 * limb.L * num_windows * ((1 << (c - 1)) + 1) * 4
+        cap = max(1, min(256 * 2**20 // per_chunk, n // 4))
+        num_chunks = 1 << (cap.bit_length() - 1)
     windows = _msm_windows_jit(
         curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows,
         num_chunks,

@@ -56,18 +56,30 @@ class Fp:
         return NotImplemented
 
     def __add__(self, o):
-        return Fp(self.v + self._lift(o), self.spec)
+        v = self._lift(o)
+        if v is NotImplemented:
+            return NotImplemented
+        return Fp(self.v + v, self.spec)
 
     __radd__ = __add__
 
     def __sub__(self, o):
-        return Fp(self.v - self._lift(o), self.spec)
+        v = self._lift(o)
+        if v is NotImplemented:
+            return NotImplemented
+        return Fp(self.v - v, self.spec)
 
     def __rsub__(self, o):
-        return Fp(self._lift(o) - self.v, self.spec)
+        v = self._lift(o)
+        if v is NotImplemented:
+            return NotImplemented
+        return Fp(v - self.v, self.spec)
 
     def __mul__(self, o):
-        return Fp(self.v * self._lift(o), self.spec)
+        v = self._lift(o)
+        if v is NotImplemented:
+            return NotImplemented
+        return Fp(self.v * v, self.spec)
 
     __rmul__ = __mul__
 

@@ -200,6 +200,135 @@ def _add_carry(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return (s + c) & MASK
 
 
+# ---------------------------------------------------------------------------
+# Digit-MAJOR ("wide") kernel variants for the XLA path.
+#
+# The public layout keeps digits minor ([..., L]) for protocol-code ergonomics,
+# but a 16-wide minor axis occupies only 16 of the TPU's 128 vector lanes and
+# triggers heavy tile padding.  The jitted kernels therefore transpose to
+# [digits, ...batch] on entry — digit ops run on the sublane axis while the
+# large batch axis fills the lanes — and transpose back on exit.  XLA layout
+# assignment cancels adjacent transposes between fused kernels.
+# ---------------------------------------------------------------------------
+
+def _shift_up0(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Along axis 0: out[i] = x[i-s] (zero fill below)."""
+    if s == 0:
+        return x
+    n = x.shape[0]
+    pad = [(s, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)[:n]
+
+
+def _prefix_carry0(g, p):
+    n = g.shape[0]
+    G, P = g, p
+    s = 1
+    while s < n:
+        G = G | (P & _shift_up0(G, s))
+        P = P & _shift_up0(P, s)
+        s <<= 1
+    return _shift_up0(G, 1)
+
+
+def _normalize0(x, relax_rounds: int):
+    for _ in range(relax_rounds):
+        x = (x & MASK) + _shift_up0(x >> W, 1)
+    g = x >> W
+    p = ((x & MASK) == MASK).astype(U32)
+    c = _prefix_carry0(g, p)
+    return (x + c) & MASK
+
+
+def _sub_borrow0(a, b):
+    d = a + jnp.uint32(MASK + 1) - b
+    g = (d >> W) ^ 1
+    p = ((d & MASK) == 0).astype(U32)
+    c = _prefix_carry0(g, p)
+    digits = (d - c) & MASK
+    last = (g[-1] | (p[-1] & c[-1]))
+    return digits, last
+
+
+def _add_carry0(a, b):
+    s = a + b
+    g = s >> W
+    p = ((s & MASK) == MASK).astype(U32)
+    c = _prefix_carry0(g, p)
+    return (s + c) & MASK
+
+
+def _cond_sub_p0(x, spec: FieldSpec):
+    p_col = jnp.asarray(spec.p_digits).reshape(L, *([1] * (x.ndim - 1)))
+    diff, borrow = _sub_borrow0(x, p_col)
+    keep = (borrow != 0)[None]
+    return jnp.where(keep, x, diff)
+
+
+def _mul_columns0(a, b):
+    """[L, ...] x [L, ...] -> lazy columns [2L+1, ...]."""
+    nd = a.ndim
+    acc = None
+    for i in range(L):
+        prod = a[i][None] * b  # [L, ...]
+        lo = prod & MASK
+        hi = prod >> W
+        r = jnp.pad(lo, [(i, L + 1 - i)] + [(0, 0)] * (nd - 1))
+        acc = r if acc is None else acc + r
+        acc = acc + jnp.pad(hi, [(i + 1, L - i)] + [(0, 0)] * (nd - 1))
+    return acc
+
+
+def _redc0(spec: FieldSpec, t_lazy, relax_rounds: int = 2):
+    width = t_lazy.shape[0]
+    assert width in (2 * L, 2 * L + 1)
+    if width == 2 * L:
+        t_lazy = jnp.pad(t_lazy, [(0, 1)] + [(0, 0)] * (t_lazy.ndim - 1))
+    t = _normalize0(t_lazy, relax_rounds)
+    pp_col = jnp.asarray(spec.p_prime_digits).reshape(
+        L, *([1] * (t.ndim - 1))
+    )
+    m = _normalize0(_mul_columns0(t[:L], pp_col + jnp.zeros_like(t[:L]))[:L], 2)
+    p_col = jnp.asarray(spec.p_digits).reshape(L, *([1] * (t.ndim - 1)))
+    mp = _mul_columns0(m, p_col + jnp.zeros_like(m))
+    u = _normalize0(t + mp, 2)
+    return _cond_sub_p0(u[L: 2 * L], spec)
+
+
+def _to_wide(a):
+    return jnp.moveaxis(a, -1, 0)
+
+
+def _from_wide(a):
+    return jnp.moveaxis(a, 0, -1)
+
+
+# -- fully wide field ops: operate on [L, ...batch] without transposing.
+# Used by kernels (MSM bucket accumulation) that keep every tensor
+# digit-major end to end so the minor axes stay large and tile-friendly. --
+
+def _add_wide(spec: FieldSpec, a, b):
+    return _cond_sub_p0(_add_carry0(a, b), spec)
+
+
+def _sub_wide(spec: FieldSpec, a, b):
+    diff, borrow = _sub_borrow0(a, b)
+    p_col = jnp.asarray(spec.p_digits).reshape(L, *([1] * (a.ndim - 1)))
+    wrapped = _add_carry0(diff, p_col)
+    return jnp.where((borrow != 0)[None], wrapped, diff)
+
+
+def _mont_mul_wide(spec: FieldSpec, a, b):
+    return _redc0(spec, _mul_columns0(a, b))
+
+
+def _neg_wide(spec: FieldSpec, a):
+    p_col = jnp.asarray(spec.p_digits).reshape(L, *([1] * (a.ndim - 1)))
+    diff, _ = _sub_borrow0(p_col + jnp.zeros_like(a), a)
+    z = jnp.all(a == 0, axis=0)
+    return jnp.where(z[None], jnp.zeros_like(diff), diff)
+
+
 def _cond_sub_p(x: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     diff, borrow = _sub_borrow(x, jnp.asarray(spec.p_digits))
     keep = (borrow != 0)[..., None]  # borrow => x < p
@@ -261,7 +390,7 @@ def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=0)
 def _add_jax(spec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
-    return _cond_sub_p(_add_carry(a, b), spec)
+    return _from_wide(_cond_sub_p0(_add_carry0(_to_wide(a), _to_wide(b)), spec))
 
 
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -273,9 +402,11 @@ def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=0)
 def _sub_jax(spec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
-    diff, borrow = _sub_borrow(a, b)
-    wrapped = _add_carry(diff, jnp.asarray(spec.p_digits))
-    return jnp.where((borrow != 0)[..., None], wrapped, diff)
+    aw, bw = _to_wide(a), _to_wide(b)
+    diff, borrow = _sub_borrow0(aw, bw)
+    p_col = jnp.asarray(spec.p_digits).reshape(L, *([1] * (aw.ndim - 1)))
+    wrapped = _add_carry0(diff, p_col)
+    return _from_wide(jnp.where((borrow != 0)[None], wrapped, diff))
 
 
 def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -330,7 +461,9 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=0)
 def _mont_mul_jax(spec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
-    return redc(spec, _mul_columns(a, b))
+    return _from_wide(
+        _redc0(spec, _mul_columns0(_to_wide(a), _to_wide(b)))
+    )
 
 
 def mont_square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:

@@ -284,28 +284,28 @@ int register_curve(int field_id, const u32* b3_mont_digits) {
 // Elementwise ops.  sb = stride of b in 16-lane units (0 broadcasts b[0]).
 void fe_add(int fid, const u32* a, const u32* b, u32* out, long n, long sb) {
   const Field& f = g_fields[fid];
-  #pragma omp parallel for schedule(static)
+  #pragma omp parallel for schedule(static) if (n >= 2048)
   for (long i = 0; i < n; ++i)
     store(out + 16 * i, fadd(load(a + 16 * i), load(b + 16 * i * sb), f));
 }
 
 void fe_sub(int fid, const u32* a, const u32* b, u32* out, long n, long sb) {
   const Field& f = g_fields[fid];
-  #pragma omp parallel for schedule(static)
+  #pragma omp parallel for schedule(static) if (n >= 2048)
   for (long i = 0; i < n; ++i)
     store(out + 16 * i, fsub(load(a + 16 * i), load(b + 16 * i * sb), f));
 }
 
 void fe_neg(int fid, const u32* a, u32* out, long n) {
   const Field& f = g_fields[fid];
-  #pragma omp parallel for schedule(static)
+  #pragma omp parallel for schedule(static) if (n >= 2048)
   for (long i = 0; i < n; ++i) store(out + 16 * i, fneg(load(a + 16 * i), f));
 }
 
 void fe_mul(int fid, const u32* a, const u32* b, u32* out, long n, long sa,
             long sb) {
   const Field& f = g_fields[fid];
-  #pragma omp parallel for schedule(static)
+  #pragma omp parallel for schedule(static) if (n >= 512)
   for (long i = 0; i < n; ++i)
     store(out + 16 * i,
           fmul(load(a + 16 * i * sa), load(b + 16 * i * sb), f));
@@ -314,7 +314,7 @@ void fe_mul(int fid, const u32* a, const u32* b, u32* out, long n, long sa,
 void fe_pow(int fid, const u32* a, const u32* e_digits, u32* out, long n) {
   const Field& f = g_fields[fid];
   Fe e = load(e_digits);
-  #pragma omp parallel for schedule(static)
+  #pragma omp parallel for schedule(static) if (n >= 64)
   for (long i = 0; i < n; ++i) store(out + 16 * i, fpow(load(a + 16 * i), e, f));
 }
 
@@ -410,7 +410,7 @@ void fe_fold_halves(int fid, const u32* lo, const u32* hi, const u32* x,
 void ec_padd(int cid, const u32* p, const u32* q, u32* out, long n, long sq) {
   const Curve& c = g_curves[cid];
   const Field& f = g_fields[c.field_id];
-  #pragma omp parallel for schedule(static)
+  #pragma omp parallel for schedule(static) if (n >= 128)
   for (long i = 0; i < n; ++i)
     pt_store(out + 48 * i, padd(pt_load(p + 48 * i), pt_load(q + 48 * i * sq), c, f));
 }
@@ -418,7 +418,7 @@ void ec_padd(int cid, const u32* p, const u32* q, u32* out, long n, long sq) {
 void ec_pdbl(int cid, const u32* p, u32* out, long n) {
   const Curve& c = g_curves[cid];
   const Field& f = g_fields[c.field_id];
-  #pragma omp parallel for schedule(static)
+  #pragma omp parallel for schedule(static) if (n >= 128)
   for (long i = 0; i < n; ++i)
     pt_store(out + 48 * i, pdbl(pt_load(p + 48 * i), c, f));
 }
@@ -429,7 +429,7 @@ void ec_scalar_mul(int cid, const u32* p, const u32* k_digits, u32* out,
   const Curve& c = g_curves[cid];
   const Field& f = g_fields[c.field_id];
   Fe k = load(k_digits);
-  #pragma omp parallel for schedule(static)
+  #pragma omp parallel for schedule(static) if (n >= 8)
   for (long i = 0; i < n; ++i) {
     Pt base = pt_load(p + 48 * i);
     Pt acc = pt_identity(f);

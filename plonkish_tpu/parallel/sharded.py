@@ -96,3 +96,66 @@ def sharded_round_step(
         check_vma=False,
     )
     return mapped(polys, challenge)
+
+
+def sharded_msm_windows(curve, mesh: Mesh, scalars, points,
+                        c: int, num_windows: int, chunks_per_dev: int):
+    """Data-parallel MSM across the mesh: points/scalars sharded on the
+    point axis, per-device dense bucket accumulation + weighted reduction
+    (the fused single-program kernel), then an all_gather of the tiny
+    [W, 3, L] window sums and a local complete-add fold.
+
+    Collective traffic: num_devices × W × 192 bytes total (the bucket sums),
+    riding ICI — the communication structure SURVEY §2.8 prescribes.
+    """
+    from ..curves.msm import _msm_windows_jit
+    from ..curves.device import _padd_jax
+
+    def local(scalars_local, points_local):
+        wins = _msm_windows_jit(
+            curve, (scalars_local, points_local), c, num_windows,
+            chunks_per_dev,
+        )  # [W, 3, L]
+        all_wins = jax.lax.all_gather(wins, "data")  # [D, W, 3, L]
+        acc = all_wins[0]
+        for d in range(1, all_wins.shape[0]):
+            acc = _padd_jax(curve, acc, all_wins[d])
+        return acc
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data", None, None)),
+        out_specs=P(None, None, None),
+        check_vma=False,
+    )
+    return mapped(scalars, points)
+
+
+def sharded_msm(curve, mesh: Mesh, scalars, points, num_bits: int | None = None):
+    """Full multi-chip MSM returning a host AffinePoint.
+
+    `num_bits` optionally bounds the scalar width (fewer windows) when the
+    caller knows the scalars are small — also keeps the virtual-CPU-mesh
+    test compile tractable."""
+    from ..curves.device import to_affine_host
+    from ..curves.host import AffinePoint
+    from ..curves.msm import window_size
+
+    n = points.shape[0]
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0
+    c = window_size(n // n_dev)
+    num_windows = -(-(num_bits or curve.scalar.num_bits) // c) + 1
+    per_chunk = 3 * 16 * num_windows * ((1 << (c - 1)) + 1) * 4
+    chunks_per_dev = max(1, min(192 * 2**20 // per_chunk, n // n_dev // 4))
+    windows = sharded_msm_windows(
+        curve, mesh, scalars, points, c, num_windows, chunks_per_dev
+    )
+    window_points = to_affine_host(curve, windows)
+    acc = AffinePoint.identity(curve)
+    for wp in reversed(window_points):
+        for _ in range(c):
+            acc = acc.double()
+        acc = acc + wp
+    return acc

@@ -681,9 +681,19 @@ class ClassicSumCheck:
             prover = self.prover_cls(state)
             aux = self.message_cls.auxiliary(state.degree, spec)
             challenges = []
+            from .. import config
+
             for round_ in range(num_vars):
                 with span(f"sum_check_prove_round-{round_}"):
                     msg = prover.prove_round(state)
+                if config.sanity_checks():
+                    # reference `sanity-check` feature (classic/eval.rs
+                    # debug assertions): the round polynomial must carry
+                    # the running claimed sum
+                    assert msg.sum() == state.sum, (
+                        f"sum-check round {round_}: message sum "
+                        f"{msg.sum()} != claimed {state.sum}"
+                    )
                 msg.write(transcript)
                 challenge = transcript.squeeze_challenge()
                 challenges.append(challenge)

@@ -126,3 +126,29 @@ def test_sum_check_round_equivalence():
     cpp_msg = prover.prove_round(state)  # cpp path (suite default backend)
     jax_msg = prover._prove_round_jax(state)
     assert [int(v) for v in cpp_msg.values] == [int(v) for v in jax_msg.values]
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("PLONKISH_TPU_SLOW") != "1",
+    reason="slow XLA CPU compile (set PLONKISH_TPU_SLOW=1)",
+)
+def test_padd_wide_equivalence():
+    """Digit-major complete addition must match the layout-minor kernel."""
+    import jax
+
+    from plonkish_tpu.curves.device import _padd_wide
+
+    rng = random.Random(11)
+    curve = BN254_G1
+    g = AffinePoint.generator(curve)
+    pts = [g.scalar_mul(rng.randrange(1, curve.scalar.p)) for _ in range(8)]
+    qts = [g.scalar_mul(rng.randrange(1, curve.scalar.p)) for _ in range(7)]
+    qts.append(AffinePoint.identity(curve))
+    p = jnp.asarray(np.asarray(from_affine_host(curve, pts), dtype=np.uint32))
+    q = jnp.asarray(np.asarray(from_affine_host(curve, qts), dtype=np.uint32))
+    want = _padd_jax(curve, p, q)
+    wide = jax.jit(lambda a, b: jnp.transpose(
+        _padd_wide(curve, jnp.transpose(a, (1, 2, 0)), jnp.transpose(b, (1, 2, 0))),
+        (2, 0, 1),
+    ))(p, q)
+    assert np.array_equal(np.asarray(want), np.asarray(wide))

@@ -1,0 +1,42 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+These force the jax backend regardless of the suite default (sharding is a
+jax-path feature); shapes are tiny so compiles stay manageable."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("PLONKISH_TPU_SLOW") != "1",
+    reason="slow: multi-minute XLA CPU compile (set PLONKISH_TPU_SLOW=1)",
+)
+def test_sharded_msm_matches_host():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    from plonkish_tpu.curves.device import from_affine_host
+    from plonkish_tpu.curves.host import AffinePoint, msm_host
+    from plonkish_tpu.curves.specs import BN254_G1
+    from plonkish_tpu.fields import Fp, limb
+    from plonkish_tpu.parallel.sharded import make_mesh, sharded_msm
+
+    rng = random.Random(3)
+    curve = BN254_G1
+    g = AffinePoint.generator(curve)
+    n = 64
+    pts = [g.scalar_mul(rng.randrange(1, curve.scalar.p)) for _ in range(n)]
+    scalars = [Fp(rng.randrange(1 << 16), curve.scalar) for _ in range(n)]
+
+    mesh = make_mesh(4)
+    dev_pts = jax.numpy.asarray(
+        np.asarray(from_affine_host(curve, pts), dtype=np.uint32)
+    )
+    dev_scalars = jax.numpy.asarray(
+        np.asarray(limb.from_ints([int(s) for s in scalars]), dtype=np.uint32)
+    )
+    got = sharded_msm(curve, mesh, dev_scalars, dev_pts, num_bits=16)
+    assert got == msm_host(scalars, pts)
