@@ -140,8 +140,16 @@ def main() -> None:
                 )
             )
             return
-        except Exception:
-            pass
+        except Exception as e:
+            import sys
+            import traceback
+
+            print(
+                f"bench_msm failed ({type(e).__name__}: {str(e)[:200]}); "
+                "falling back to field-mul",
+                file=sys.stderr,
+            )
+            traceback.print_exc(limit=3, file=sys.stderr)
 
     device_mps, host_mps = bench_fieldmul(16, 30)
     print(

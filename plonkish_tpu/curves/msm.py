@@ -166,28 +166,22 @@ def _bucket_accumulate_wide(curve, points_w, idx, sign, c, num_chunks):
 
     buckets = jax.lax.fori_loop(0, chunk_len, body, buckets)
 
-    # Fold the chunk axis with a shape-stable butterfly: at step s every
-    # chunk lane adds its partner at XOR distance 2^s.  log2(C) fori steps
-    # over a single padd instance — one compiled body instead of a log2(C)-
-    # deep unrolled tree (XLA compile time on this kernel is dominated by
-    # the number of distinct padd instantiations, not the math).
-    cpad = 1 << max(0, (num_chunks - 1).bit_length())
-    if cpad != num_chunks:
-        pad_b = jnp.broadcast_to(
-            identity_wide(curve).reshape(3, limb.L, 1, 1, 1),
-            (3, limb.L, w, b, cpad - num_chunks),
+    # Fold the chunk axis with a contiguous halving tree: each level padds
+    # the upper half onto the lower half, so the work series sums to ~2x
+    # one full-width pass and every level is a free contiguous slice (the
+    # callers keep num_chunks a power of two).
+    while buckets.shape[-1] > 1:
+        m = buckets.shape[-1]
+        if m % 2:
+            pad_b = jnp.broadcast_to(
+                identity_wide(curve).reshape(3, limb.L, 1, 1, 1),
+                (3, limb.L, w, b, 1),
+            )
+            buckets = jnp.concatenate([buckets, pad_b], axis=-1)
+            m += 1
+        buckets = _padd_wide(
+            curve, buckets[..., : m // 2], buckets[..., m // 2 :]
         )
-        buckets = jnp.concatenate([buckets, pad_b], axis=-1)
-    iota_c = jnp.arange(cpad, dtype=jnp.int32)
-
-    def fold_body(s, buckets):
-        stride = jnp.left_shift(jnp.int32(1), s)
-        partner = jnp.take(buckets, iota_c ^ stride, axis=-1)
-        summed = _padd_wide(curve, buckets, partner)
-        live = (iota_c & stride) == 0
-        return jnp.where(live[None, None, None, None, :], summed, buckets)
-
-    buckets = jax.lax.fori_loop(0, cpad.bit_length() - 1, fold_body, buckets)
     return buckets[..., 0]  # [3, L, W, B]
 
 
@@ -250,11 +244,13 @@ def variable_base_msm(
     num_windows = -(-curve.scalar.num_bits // c) + 1
     if num_chunks is None:
         # bucket tensor is [3, L, W, B, C] u32 with B = 2^(c-1)+1.  C is a
-        # power of two (the chunk fold is an XOR butterfly, and padding C up
-        # would double the tensor); XLA's temp layouts cost up to ~3.5x in
-        # tile padding, so a ~256 MB unpadded tensor is the safe HBM budget.
-        per_chunk = 3 * limb.L * num_windows * ((1 << (c - 1)) + 1) * 4
-        cap = max(1, min(256 * 2**20 // per_chunk, n // 4))
+        # power of two; XLA's temp layouts cost up to ~3.5x in tile padding,
+        # so a ~256 MB unpadded tensor is the safe HBM budget.  The chunk
+        # fold costs 2·W·B·C padds vs n·W for accumulation, so C is also
+        # capped at n/(2B) to keep the fold a minority of the work.
+        nb = (1 << (c - 1)) + 1
+        per_chunk = 3 * limb.L * num_windows * nb * 4
+        cap = max(1, min(256 * 2**20 // per_chunk, n // (2 * nb), n // 4))
         num_chunks = 1 << (cap.bit_length() - 1)
     windows = _msm_windows_jit(
         curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows,
@@ -267,6 +263,22 @@ def variable_base_msm(
             acc = acc.double()
         acc = acc + wp
     return acc
+
+
+def msm_affine(scalars, points) -> AffinePoint:
+    """MSM over host AffinePoints through the active backend (verifier-side
+    commitment recombination — reference pcs/multilinear.rs:237-275 sums
+    commitments by MSM).  Falls back to the naive host loop for tiny inputs
+    or when only the pure-Python path is available (the XLA path would pay
+    a per-shape compile for host-sized problems)."""
+    from .host import msm_host
+
+    assert len(scalars) == len(points)
+    if len(points) < 16 or not limb.IS_CPP:
+        return msm_host(scalars, points)
+    curve = points[0].curve
+    dev = from_affine_host(curve, points)
+    return variable_base_msm(curve, [int(s) for s in scalars], dev)
 
 
 def fixed_base_msm(

@@ -147,8 +147,13 @@ def sharded_msm(curve, mesh: Mesh, scalars, points, num_bits: int | None = None)
     assert n % n_dev == 0
     c = window_size(n // n_dev)
     num_windows = -(-(num_bits or curve.scalar.num_bits) // c) + 1
-    per_chunk = 3 * 16 * num_windows * ((1 << (c - 1)) + 1) * 4
-    chunks_per_dev = max(1, min(192 * 2**20 // per_chunk, n // n_dev // 4))
+    nb = (1 << (c - 1)) + 1
+    per_chunk = 3 * 16 * num_windows * nb * 4
+    n_local = n // n_dev
+    cap = max(
+        1, min(192 * 2**20 // per_chunk, n_local // (2 * nb), n_local // 4)
+    )
+    chunks_per_dev = 1 << (cap.bit_length() - 1)
     windows = sharded_msm_windows(
         curve, mesh, scalars, points, c, num_windows, chunks_per_dev
     )

@@ -15,6 +15,7 @@ from typing import List, Sequence
 
 from ..backend.pcs_api import Evaluation
 from ..curves.host import AffinePoint, msm_host
+from ..curves.msm import msm_affine
 from ..curves.specs import BN254_G1, CurveSpec
 from ..fields import limb
 from ..fields.host import Fp
@@ -69,7 +70,7 @@ class Gemini:
         return [transcript.read_point(self.curve) for _ in range(n)]
 
     def combine_commitments(self, vp, scalars, bases):
-        return msm_host(scalars, bases)
+        return msm_affine(scalars, bases)
 
     # ------------------------------------------------------------------- open
     def open(self, pp, poly: MLPoly, comm, point: Sequence[Fp], eval_, transcript):

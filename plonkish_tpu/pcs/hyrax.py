@@ -13,6 +13,7 @@ from typing import List, Sequence
 
 from ..backend.pcs_api import Evaluation
 from ..curves.host import AffinePoint, msm_host
+from ..curves.msm import msm_affine
 from ..curves.msm import variable_base_msm
 from ..curves.specs import GRUMPKIN_G1, CurveSpec
 from ..fields import limb
@@ -111,7 +112,7 @@ class MultilinearHyrax:
         out = []
         for idx in range(num_chunks):
             out.append(
-                msm_host([s for s, _ in pairs], [b[idx] for _, b in pairs])
+                msm_affine([s for s, _ in pairs], [b[idx] for _, b in pairs])
             )
         return out
 
@@ -135,7 +136,7 @@ class MultilinearHyrax:
         lo, hi = list(point[: vp.row_num_vars]), list(point[vp.row_num_vars:])
         if hi:
             scalars = eq_xy(spec, hi).to_fps()
-            row_comm = msm_host(scalars, comm)
+            row_comm = msm_affine(scalars, comm)
         else:
             assert vp.num_chunks == 1
             row_comm = comm[0]

@@ -20,6 +20,7 @@ from ..curves.device import (
     to_affine_host,
 )
 from ..curves.host import AffinePoint, msm_host
+from ..curves.msm import msm_affine
 from ..curves.msm import variable_base_msm
 from ..curves.specs import GRUMPKIN_G1, CurveSpec, sqrt_mod
 from ..fields import limb
@@ -107,7 +108,7 @@ class MultilinearIpa:
         return [transcript.read_point(self.curve) for _ in range(n)]
 
     def combine_commitments(self, vp, scalars, bases):
-        return msm_host(scalars, bases)
+        return msm_affine(scalars, bases)
 
     # ------------------------------------------------------------------- open
     def open(self, pp: IpaParams, poly: MLPoly, comm, point: Sequence[Fp],
@@ -187,7 +188,7 @@ class MultilinearIpa:
 
         xi_invs = batch_invert(list(xis))
         eval_prime = xi_0 * eval_
-        c_k = msm_host(
+        c_k = msm_affine(
             xi_invs + xis + [eval_prime], ls + rs + [vp.h]
         ) + comm
 
@@ -195,7 +196,7 @@ class MultilinearIpa:
         h_poly = MLPoly.from_fps(spec, h_evals)
         h_at_point = h_poly.evaluate(list(point))
 
-        lhs_ok = c_k == msm_host(
+        lhs_ok = c_k == msm_affine(
             [c, c * h_at_point * xi_0], [g_k, vp.h]
         )
         g_ok = g_k == variable_base_msm(

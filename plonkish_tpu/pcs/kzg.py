@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..backend.pcs_api import Evaluation
 from ..curves.device import from_affine_host
 from ..curves.host import AffinePoint, msm_host
+from ..curves.msm import msm_affine
 from ..curves.msm import fixed_base_msm, variable_base_msm
 from ..curves.pairing import G2Point, pairings_product_is_identity
 from ..curves.specs import BN254_G1, CurveSpec
@@ -134,7 +135,7 @@ class MultilinearKzg:
         return [transcript.read_point(self.curve) for _ in range(n)]
 
     def combine_commitments(self, vp, scalars, bases) -> AffinePoint:
-        return msm_host(scalars, bases)
+        return msm_affine(scalars, bases)
 
     # ------------------------------------------------------------------- open
     def open(

@@ -15,6 +15,7 @@ from typing import Dict, List, Sequence, Tuple
 from ..backend.pcs_api import Evaluation
 from ..curves.device import from_affine_host, to_affine_host
 from ..curves.host import AffinePoint, msm_host
+from ..curves.msm import msm_affine
 from ..curves.msm import fixed_base_msm, variable_base_msm
 from ..curves.pairing import G2Point, pairings_product_is_identity
 from ..curves.specs import BN254_G1, CurveSpec
@@ -132,7 +133,7 @@ class UnivariateKzg:
         return [transcript.read_point(self.curve) for _ in range(n)]
 
     def combine_commitments(self, vp, scalars, bases):
-        return msm_host(scalars, bases)
+        return msm_affine(scalars, bases)
 
     # ------------------------------------------------------------------- open
     def open(self, pp, poly: UniPoly, comm, point: Fp, eval_, transcript):
@@ -212,7 +213,7 @@ class UnivariateKzg:
         )
         superset_eval = _vanishing_eval([points[i] for i in superset], z)
         q_scalar = -superset_eval * normalizer
-        f_comm = msm_host(
+        f_comm = msm_affine(
             scalars + [q_scalar], list(comms) + [q_comm]
         )
         eval_ = Fp.zero(spec)

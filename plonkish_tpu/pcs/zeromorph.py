@@ -14,6 +14,7 @@ from typing import List, Sequence
 
 from ..backend.pcs_api import Evaluation
 from ..curves.host import AffinePoint, msm_host
+from ..curves.msm import msm_affine
 from ..curves.msm import variable_base_msm
 from ..curves.pairing import G2Point, pairings_product_is_identity
 from ..curves.specs import BN254_G1, CurveSpec
@@ -117,7 +118,7 @@ class Zeromorph:
         return [transcript.read_point(self.curve) for _ in range(n)]
 
     def combine_commitments(self, vp, scalars, bases):
-        return msm_host(scalars, bases)
+        return msm_affine(scalars, bases)
 
     # ------------------------------------------------------------------- open
     def open(self, pp: ZeromorphProverParam, poly: MLPoly, comm,
@@ -216,7 +217,7 @@ class Zeromorph:
         )
         scalars = [Fp.one(spec), z, eval_scalar * eval_] + q_scalars
         bases = [q_hat_comm, comm, vp.vp.g1] + q_comms
-        c = msm_host(scalars, bases)
+        c = msm_affine(scalars, bases)
 
         pi = transcript.read_point(self.curve)
         rhs2 = vp.vp.s_g2 + (-(vp.vp.g2.scalar_mul(int(x))))
