@@ -33,7 +33,7 @@ def main(argv=None) -> None:
     ap.add_argument(
         "--system",
         default="hyperplonk",
-        choices=["hyperplonk", "protostar", "sangria"],
+        choices=["hyperplonk", "univariate_plonk", "protostar", "sangria"],
         help="protostar/sangria time the per-step accumulation fold "
         "(reference Protostar::prove_accumulation_from_nark, "
         "accumulation/protostar/hyperplonk.rs:241-331) instead of a "
@@ -120,6 +120,38 @@ def main(argv=None) -> None:
     out_path = f"target/bench/{args.system}"
     if args.breakdown:
         timer.set_enabled(True)
+
+    if args.system == "univariate_plonk":
+        # the reference's halo2 comparison system (FFT + univariate KZG)
+        from plonkish_tpu.backend.univariate import UnivariatePlonk
+
+        assert args.circuit == "vanilla_plonk", "univariate backend: vanilla only"
+        for k in ks:
+            backend = UnivariatePlonk()
+            spec = backend.field_spec
+            circuit_info, circuit = circuit_fn(
+                spec, k, random.Random(42), random.Random(4242)
+            )
+            param = backend.setup(circuit_info, random.Random(0))
+            pp, vp = backend.preprocess(param, circuit_info)
+            samples = args.samples or _sample_size(k)
+            times = []
+            proof = None
+            for _ in range(samples):
+                tr = Keccak256Transcript(spec)
+                t0 = time.perf_counter()
+                backend.prove(pp, circuit, tr)
+                times.append(time.perf_counter() - t0)
+                proof = tr.into_proof()
+            backend.verify(
+                vp, circuit.instances(),
+                Keccak256Transcript.from_proof(spec, proof),
+            )
+            avg_ms = sum(times) / len(times) * 1e3
+            with open(out_path, "a") as f:
+                f.write(f"{k}, {avg_ms:.3f}\n")
+            print(f"k={k} univariate_plonk prove avg {avg_ms:.1f} ms")
+        return
 
     if args.system in ("protostar", "sangria"):
         from plonkish_tpu.accumulation.protostar import Protostar, Sangria

@@ -134,37 +134,44 @@ def _bucket_accumulate_wide(curve, points_w, idx, sign, c, num_chunks):
     idx = idx.reshape(w, num_chunks, chunk_len)
     sign = sign.reshape(w, num_chunks, chunk_len)
 
+    # Loop state is [B, 3, L, F] with F = W*C flattened: every large tensor
+    # the loop touches ends in (..., L, F) — 16 sublanes by a huge lane
+    # axis — so XLA's layout assignment has exactly one sensible choice and
+    # no tensor pays tile padding or per-iteration relayout copies.
+    f = w * num_chunks
     buckets = jnp.broadcast_to(
-        identity_wide(curve).reshape(3, limb.L, 1, 1, 1),
-        (3, limb.L, w, b, num_chunks),
+        identity_wide(curve).reshape(1, 3, limb.L, 1), (b, 3, limb.L, f)
     )
     iota_b = jnp.arange(b, dtype=jnp.int32)
 
     def body(t, buckets):
         pt = points_w[:, :, :, t]  # [3, L, C]
-        ix = idx[:, :, t]  # [W, C]
+        ix = idx[:, :, t].reshape(f)  # [F]
         sg = sign[:, :, t]  # [W, C]
         yneg = limb._neg_wide(spec, pt[1])  # [L, C]
         y_signed = jnp.where(
-            sg[None], yneg[:, None, :], pt[1][:, None, :]
-        )  # [L, W, C]
-        pt_signed = jnp.stack(
-            [
-                jnp.broadcast_to(pt[0][:, None, :], y_signed.shape),
-                y_signed,
-                jnp.broadcast_to(pt[2][:, None, :], y_signed.shape),
-            ],
-            axis=0,
-        )  # [3, L, W, C]
-        onehot = iota_b[None, :, None] == ix[:, None, :]  # [W, B, C]
-        mask = onehot[None, None]  # [1, 1, W, B, C]
+            sg[:, None, :], yneg[None], pt[1][None]
+        )  # [W, L, C]
+        y_signed = jnp.moveaxis(y_signed, 0, 1).reshape(limb.L, f)
+        xb = jnp.broadcast_to(
+            pt[0][:, None, :], (limb.L, w, num_chunks)
+        ).reshape(limb.L, f)
+        zb = jnp.broadcast_to(
+            pt[2][:, None, :], (limb.L, w, num_chunks)
+        ).reshape(limb.L, f)
+        pt_signed = jnp.stack([xb, y_signed, zb], axis=0)  # [3, L, F]
+        mask = (iota_b[:, None] == ix[None, :])[:, None, None]  # [B,1,1,F]
         cur = jnp.sum(
-            jnp.where(mask, buckets, jnp.uint32(0)), axis=3
-        )  # [3, L, W, C]
+            jnp.where(mask, buckets, jnp.uint32(0)), axis=0
+        )  # [3, L, F]
         new = _padd_wide(curve, cur, pt_signed)
-        return jnp.where(mask, new[:, :, :, None, :], buckets)
+        return jnp.where(mask, new[None], buckets)
 
     buckets = jax.lax.fori_loop(0, chunk_len, body, buckets)
+    # [B, 3, L, W*C] -> [3, L, W, B, C] for the fold + weighted reduction
+    buckets = jnp.transpose(
+        buckets.reshape(b, 3, limb.L, w, num_chunks), (1, 2, 3, 0, 4)
+    )
 
     # Fold the chunk axis with a contiguous halving tree: each level padds
     # the upper half onto the lower half, so the work series sums to ~2x

@@ -3,6 +3,7 @@ from .host import Fp, batch_invert
 from .spec import (
     BN254_FQ,
     BN254_FR,
+    BLS12_381_FR,
     GRUMPKIN_FQ,
     GRUMPKIN_FR,
     NUM_DIGITS,
@@ -19,6 +20,7 @@ __all__ = [
     "batch_invert",
     "FieldSpec",
     "BN254_FR",
+    "BLS12_381_FR",
     "BN254_FQ",
     "GRUMPKIN_FR",
     "GRUMPKIN_FQ",

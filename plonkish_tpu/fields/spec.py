@@ -120,6 +120,14 @@ BN254_FQ = FieldSpec(
 GRUMPKIN_FR = BN254_FQ
 GRUMPKIN_FQ = BN254_FR
 
+# BLS12-381 scalar field (255 bits — fits the 16-digit/R=2^256 layout; the
+# 381-bit base field would need a 24-digit layout and is out of scope until
+# a curve protocol needs BLS G1 coordinates on device).
+BLS12_381_FR = FieldSpec(
+    "bls12_381::Fr",
+    0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001,
+)
+
 # Pasta curves (pallas/vesta 2-cycle).
 PALLAS_BASE = FieldSpec(
     "pasta::Fp",

@@ -6,10 +6,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from plonkish_tpu.fields import BN254_FQ, BN254_FR, Fp, batch_invert, limb
+from plonkish_tpu.fields import BLS12_381_FR, BN254_FQ, BN254_FR, Fp, batch_invert, limb
 from plonkish_tpu.fields.spec import R
 
-SPECS = [BN254_FR, BN254_FQ]
+SPECS = [BN254_FR, BN254_FQ, BLS12_381_FR]
 RNG = random.Random(0xC0FFEE)
 
 
