@@ -113,9 +113,7 @@ class UnivariatePlonk:
         for col in circuit_info.preprocess_polys:
             coeffs = ntt(spec, _fps_to_tensor(spec, col), inverse=True)
             fixed_coeffs.append(coeffs)
-            fixed_comms.append(
-                self.pcs.commit_coeffs(kzg_pp, _tensor_to_fps(spec, coeffs))
-            )
+            fixed_comms.append(self.pcs.commit_coeffs(kzg_pp, coeffs))
 
         # σ_j(ω^i) = id of the next cell in the copy cycle; identity where
         # uncopied (GWC19; reference permutation_polys preprocessor.rs:172-203)
@@ -141,9 +139,7 @@ class UnivariatePlonk:
             sigma_evals.append(evals)
             coeffs = ntt(spec, evals, inverse=True)
             sigma_coeffs.append(coeffs)
-            sigma_comms.append(
-                self.pcs.commit_coeffs(kzg_pp, _tensor_to_fps(spec, coeffs))
-            )
+            sigma_comms.append(self.pcs.commit_coeffs(kzg_pp, coeffs))
 
         pp = UnivariatePlonkProverParam(
             spec=spec, k=k, kzg_pp=kzg_pp,
@@ -201,10 +197,9 @@ class UnivariatePlonk:
             ]
             with span("witness_commit"):
                 for c in wire_coeffs:
-                    comm = self.pcs.commit_coeffs(
-                        pp.kzg_pp, _tensor_to_fps(spec, c)
+                    transcript.write_point(
+                        self.pcs.commit_coeffs(pp.kzg_pp, c)
                     )
-                    transcript.write_point(comm)
 
             beta = transcript.squeeze_challenge()
             gamma = transcript.squeeze_challenge()
@@ -241,9 +236,7 @@ class UnivariatePlonk:
                 )
                 z_coeffs = ntt(spec, z_evals, inverse=True)
                 transcript.write_point(
-                    self.pcs.commit_coeffs(
-                        pp.kzg_pp, _tensor_to_fps(spec, z_coeffs)
-                    )
+                    self.pcs.commit_coeffs(pp.kzg_pp, z_coeffs)
                 )
 
             alpha = transcript.squeeze_challenge()

@@ -297,70 +297,104 @@ _FROB_Y = XI.pow((P - 1) // 2)
 # Miller loop + final exponentiation
 # ---------------------------------------------------------------------------
 
-class _EmbeddedPoint:
-    """ψ(Q) in Fq12 affine coordinates."""
-
-    __slots__ = ("x", "y")
-
-    def __init__(self, q: G2Point):
-        self.x = fq12_from_fq2_w2(q.x)
-        self.y = fq12_from_fq2_w3(q.y)
+def _mul6_sparse(d: Fq6, b: Fq2, c: Fq2) -> Fq6:
+    """d · (b + c·v) — 6 Fq2 muls."""
+    d0, d1, d2 = d
+    return Fq6(d0 * b + (d2 * c) * XI, d0 * c + d1 * b, d1 * c + d2 * b)
 
 
-def _line_and_step(tx: Fq12, ty: Fq12, qx: Fq12, qy: Fq12, px: Fq12, py: Fq12):
-    """Chord/tangent line through (tx,ty),(qx,qy) evaluated at (px,py); also
-    returns the sum point.  Handles double (equal) and add cases."""
-    if tx == qx and ty == qy:
-        lam = (tx * tx * fq12_from_fq(3)) * (ty + ty).inv()
-    elif tx == qx:
-        # vertical line
-        line = px - tx
-        return line, None, None
-    else:
-        lam = (qy - ty) * (qx - tx).inv()
-    x3 = lam * lam - tx - qx
-    y3 = lam * (tx - x3) - ty
-    line = py - ty - lam * (px - tx)
-    return line, x3, y3
+def _mul_by_line(f: Fq12, a: Fq2, b: Fq2, c: Fq2) -> Fq12:
+    """f · (a + b·w + c·v·w): the sparse chord/tangent line
+    a + B·w with A = (a,0,0), B = (b,c,0) — 18 Fq2 muls instead of a full
+    Fq12 product, and no Fq12 inversions anywhere in the loop."""
+    f0, f1 = f
+    a0 = Fq6(f0[0] * a, f0[1] * a, f0[2] * a)
+    a1 = Fq6(f1[0] * a, f1[1] * a, f1[2] * a)
+    b0 = _mul6_sparse(f0, b, c)
+    b1 = _mul6_sparse(f1, b, c)
+    return Fq12(a0 + b1.mul_by_v(), b0 + a1)
+
+
+def _mul_by_vertical(f: Fq12, a: Fq2, m: Fq2) -> Fq12:
+    """f · (a + m·v) (vertical line px − tx·w²) — 12 Fq2 muls."""
+    f0, f1 = f
+    return Fq12(_mul6_sparse(f0, a, m), _mul6_sparse(f1, a, m))
 
 
 def miller_loop(p: AffinePoint, q: G2Point) -> Fq12:
+    """Optimal ate Miller loop with the tangent chain kept in Fq2 twist
+    coordinates (λ ∈ Fq2 via one cheap Fq2 inversion per step; the embedded
+    line py − λ·px·w + (λ·tx − ty)·v·w multiplies into f sparsely)."""
     if p.is_identity() or q.is_identity():
         return FQ12_ONE
-    px = fq12_from_fq(int(p.x))
-    py = fq12_from_fq(int(p.y))
-    qe = _EmbeddedPoint(q)
-    tx, ty = qe.x, qe.y
+    px, py = int(p.x), int(p.y)
+    npx = Fq2(P - px if px else 0)
+    py2 = Fq2(py)
+    tx, ty = q.x, q.y
     f = FQ12_ONE
-    bits = bin(ATE_LOOP)[3:]  # skip the leading 1
-    for bit in bits:
-        line, nx, ny = _line_and_step(tx, ty, tx, ty, px, py)
-        f = f.square() * line
-        tx, ty = nx, ny
+    three = Fq2(3)
+
+    def add_step(f, tx, ty, qx, qy, square_first):
+        if square_first:
+            f = f.square()
+        if tx == qx and ty == qy:
+            lam = (tx * tx) * three * (ty + ty).inv()
+        elif tx == qx:
+            # vertical: px − tx·w²
+            return _mul_by_vertical(f, Fq2(px), -tx), tx, ty
+        else:
+            lam = (qy - ty) * (qx - tx).inv()
+        x3 = lam * lam - tx - qx
+        y3 = lam * (tx - x3) - ty
+        f = _mul_by_line(f, py2, lam * npx, lam * tx - ty)
+        return f, x3, y3
+
+    for bit in bin(ATE_LOOP)[3:]:  # skip the leading 1
+        f, tx, ty = add_step(f, tx, ty, tx, ty, True)
         if bit == "1":
-            line, nx, ny = _line_and_step(tx, ty, qe.x, qe.y, px, py)
-            f = f * line
-            if nx is not None:
-                tx, ty = nx, ny
+            f, tx, ty = add_step(f, tx, ty, q.x, q.y, False)
     # Frobenius correction steps
     q1 = q.frobenius()
     q2 = -(q1.frobenius())
     for qq in (q1, q2):
-        qqe = _EmbeddedPoint(qq)
-        line, nx, ny = _line_and_step(tx, ty, qqe.x, qqe.y, px, py)
-        f = f * line
-        if nx is not None:
-            tx, ty = nx, ny
+        f, tx, ty = add_step(f, tx, ty, qq.x, qq.y, False)
     return f
 
 
 @functools.lru_cache(maxsize=1)
-def _final_exp_power() -> int:
-    return (P ** 12 - 1) // BN254_FR.p
+def _frob2_gammas():
+    """γ_k = ξ^(k(p²−1)/6) for k = 0..5 — the Frobenius² coefficients.
+    φ² fixes Fq2 pointwise and maps w^k → γ_k·w^k (basis w^(2j+i) for the
+    Fq12 coordinate grid)."""
+    e = (P * P - 1) // 6
+    g1 = XI.pow(e)
+    out = [Fq2(1)]
+    for _ in range(5):
+        out.append(out[-1] * g1)
+    return out
+
+
+def _frobenius2(f: Fq12) -> Fq12:
+    g = _frob2_gammas()
+    c0, c1 = f
+    return Fq12(
+        Fq6(c0[0] * g[0], c0[1] * g[2], c0[2] * g[4]),
+        Fq6(c1[0] * g[1], c1[1] * g[3], c1[2] * g[5]),
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _hard_power() -> int:
+    return (P ** 4 - P ** 2 + 1) // BN254_FR.p
 
 
 def final_exponentiation(f: Fq12) -> Fq12:
-    return f.pow(_final_exp_power())
+    """Easy part (f^(p⁶−1))^(p²+1) via conjugate·inverse + Frobenius², then
+    the 1270-bit hard exponent (p⁴−p²+1)/r — ~4.4x fewer Fq12 ops than the
+    monolithic (p¹²−1)/r power."""
+    fe = f.conj() * f.inv()  # ^(p^6 - 1)
+    fe = _frobenius2(fe) * fe  # ^(p^2 + 1)
+    return fe.pow(_hard_power())
 
 
 def pairing(p: AffinePoint, q: G2Point) -> Fq12:

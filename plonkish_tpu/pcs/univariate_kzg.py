@@ -103,12 +103,18 @@ class UnivariateKzg:
         return AffinePoint.identity(self.curve)
 
     # ----------------------------------------------------------------- commit
-    def commit_coeffs(self, pp, coeffs: Sequence[Fp]) -> AffinePoint:
-        if not coeffs:
+    def commit_coeffs(self, pp, coeffs) -> AffinePoint:
+        """Commit a coefficient vector: host Fp list OR a Montgomery digit
+        tensor [n, L] (the NTT pipeline's native form — avoids a Python
+        int round-trip per coefficient)."""
+        if not isinstance(coeffs, (list, tuple)):
+            scalars = limb.from_mont(self.field_spec, coeffs)
+        elif not coeffs:
             return AffinePoint.identity(self.curve)
-        scalars = limb.from_ints([int(c) for c in coeffs])
+        else:
+            scalars = limb.from_ints([int(c) for c in coeffs])
         return variable_base_msm(
-            self.curve, scalars, pp.powers_of_s_g1[: len(coeffs)]
+            self.curve, scalars, pp.powers_of_s_g1[: scalars.shape[0]]
         )
 
     def commit(self, pp, poly: UniPoly) -> AffinePoint:
