@@ -156,6 +156,156 @@ def _padd_wide(curve: CurveSpec, p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x3_out, y3_out, z3_out], axis=0)
 
 
+def _is_zero_wide(x):
+    return jnp.all(x == 0, axis=0)
+
+
+def _jdbl_wide(curve: CurveSpec, p):
+    """Jacobian doubling, a=0 (dbl-2009-l: 2M+5S).  p = [3, L, ...]."""
+    spec = curve.base
+    mul = functools.partial(limb._mont_mul_wide, spec)
+    add = functools.partial(limb._add_wide, spec)
+    sub = functools.partial(limb._sub_wide, spec)
+    x1, y1, z1 = p[0], p[1], p[2]
+    a = mul(x1, x1)
+    b = mul(y1, y1)
+    c = mul(b, b)
+    d = mul(add(x1, b), add(x1, b))
+    d = sub(sub(d, a), c)
+    d = add(d, d)
+    e = add(add(a, a), a)
+    f = mul(e, e)
+    x3 = sub(f, add(d, d))
+    c8 = add(c, c)
+    c8 = add(c8, c8)
+    c8 = add(c8, c8)
+    y3 = sub(mul(e, sub(d, x3)), c8)
+    z3 = mul(y1, z1)
+    z3 = add(z3, z3)
+    return jnp.stack([x3, y3, z3], axis=0)
+
+
+def _jmadd_wide(curve: CurveSpec, p, x2, y2, inf2):
+    """Branchless Jacobian += affine (madd-2007-bl: 7M+4S) with full case
+    handling by select: p at infinity (Z=0) -> (x2,y2,1); equal points ->
+    Jacobian doubling; opposite points -> infinity; inf2 mask -> p.
+
+    2.5x fewer Montgomery muls than the complete-projective formula — this
+    is the MSM bucket-accumulation inner loop, where the mul count is the
+    performance wall on TPU (u32 multiply throughput bound)."""
+    spec = curve.base
+    mul = functools.partial(limb._mont_mul_wide, spec)
+    add = functools.partial(limb._add_wide, spec)
+    sub = functools.partial(limb._sub_wide, spec)
+    x1, y1, z1 = p[0], p[1], p[2]
+
+    z1z1 = mul(z1, z1)
+    u2 = mul(x2, z1z1)
+    s2 = mul(y2, mul(z1, z1z1))
+    h = sub(u2, x1)
+    hh = mul(h, h)
+    i4 = add(hh, hh)
+    i4 = add(i4, i4)
+    j = mul(h, i4)
+    r = sub(s2, y1)
+    r = add(r, r)
+    v = mul(x1, i4)
+    x3 = sub(sub(mul(r, r), j), add(v, v))
+    yj = mul(y1, j)
+    y3 = sub(mul(r, sub(v, x3)), add(yj, yj))
+    zh = add(z1, h)
+    z3 = sub(sub(mul(zh, zh), z1z1), hh)
+    out = jnp.stack([x3, y3, z3], axis=0)
+
+    p1_inf = _is_zero_wide(z1)
+    h_zero = _is_zero_wide(h)
+    r_zero = _is_zero_wide(r)
+    dbl = jnp.logical_and(h_zero, r_zero)
+    opposite = jnp.logical_and(h_zero, jnp.logical_not(r_zero))
+
+    out = jnp.where(opposite[None, None], jnp.zeros_like(out), out)
+    out = jnp.where(dbl[None, None], _jdbl_wide(curve, p), out)
+    one = limb._to_wide(limb.one(spec)).reshape(
+        limb.L, *([1] * (x2.ndim - 1))
+    )
+    embed = jnp.stack(
+        [x2, y2, one + jnp.zeros_like(x2)], axis=0
+    )
+    out = jnp.where(p1_inf[None, None], embed, out)
+    return jnp.where(inf2[None, None], p, out)
+
+
+def _jadd_wide(curve: CurveSpec, p, q):
+    """Branchless full Jacobian addition (add-2007-bl: 11M+5S + cases)."""
+    spec = curve.base
+    mul = functools.partial(limb._mont_mul_wide, spec)
+    add = functools.partial(limb._add_wide, spec)
+    sub = functools.partial(limb._sub_wide, spec)
+    x1, y1, z1 = p[0], p[1], p[2]
+    x2, y2, z2 = q[0], q[1], q[2]
+
+    z1z1 = mul(z1, z1)
+    z2z2 = mul(z2, z2)
+    u1 = mul(x1, z2z2)
+    u2 = mul(x2, z1z1)
+    s1 = mul(y1, mul(z2, z2z2))
+    s2 = mul(y2, mul(z1, z1z1))
+    h = sub(u2, u1)
+    h2 = add(h, h)
+    i = mul(h2, h2)
+    j = mul(h, i)
+    r = sub(s2, s1)
+    r = add(r, r)
+    v = mul(u1, i)
+    x3 = sub(sub(mul(r, r), j), add(v, v))
+    sj = mul(s1, j)
+    y3 = sub(mul(r, sub(v, x3)), add(sj, sj))
+    zz = add(z1, z2)
+    z3 = mul(sub(sub(mul(zz, zz), z1z1), z2z2), h)
+    out = jnp.stack([x3, y3, z3], axis=0)
+
+    p1_inf = _is_zero_wide(z1)
+    p2_inf = _is_zero_wide(z2)
+    h_zero = _is_zero_wide(h)
+    r_zero = _is_zero_wide(r)
+    both = jnp.logical_not(jnp.logical_or(p1_inf, p2_inf))
+    dbl = jnp.logical_and(both, jnp.logical_and(h_zero, r_zero))
+    opposite = jnp.logical_and(
+        both, jnp.logical_and(h_zero, jnp.logical_not(r_zero))
+    )
+    out = jnp.where(opposite[None, None], jnp.zeros_like(out), out)
+    out = jnp.where(dbl[None, None], _jdbl_wide(curve, p), out)
+    out = jnp.where(p1_inf[None, None], q, out)
+    return jnp.where(p2_inf[None, None], p, out)
+
+
+def jacobian_to_affine_host(curve: CurveSpec, points: jnp.ndarray):
+    """Host conversion of Jacobian [N, 3, L] Montgomery tensors to
+    AffinePoints (x/z², y/z³)."""
+    spec = curve.base
+    flat = limb.np.asarray(points).reshape(-1, 3, limb.L)
+    out = []
+    for row in flat:
+        from ..fields.spec import digits_to_int
+
+        z = spec.from_mont(digits_to_int(row[2]))
+        if z == 0:
+            out.append(AffinePoint.identity(curve))
+            continue
+        x = spec.from_mont(digits_to_int(row[0]))
+        y = spec.from_mont(digits_to_int(row[1]))
+        zi = pow(z, spec.p - 2, spec.p)
+        zi2 = zi * zi % spec.p
+        out.append(
+            AffinePoint(
+                curve,
+                Fp(x * zi2 % spec.p, spec),
+                Fp(y * zi2 % spec.p * zi % spec.p, spec),
+            )
+        )
+    return out
+
+
 def pdbl(curve: CurveSpec, p: jnp.ndarray) -> jnp.ndarray:
     if limb.IS_CPP:
         from ..ops import field_cpp as _cpp

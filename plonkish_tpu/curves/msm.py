@@ -85,6 +85,80 @@ def _window_digits(scalars, c: int, num_windows: int):
     return xnp.stack(outs, axis=0).astype(np.int32)
 
 
+def _bucket_accumulate_narrow(curve, points, digits, c, num_chunks):
+    """Unsigned-digit bucket accumulation in the row-minor [W, C, B, 3, L]
+    layout with complete projective adds — empirically the fastest XLA
+    schedule at large n on TPU (the digit-major/signed/Jacobian variants
+    below are kept for study; XLA's layout assignment currently compiles
+    this one best)."""
+    n = points.shape[0]
+    w = digits.shape[0]
+    b = 1 << c
+    chunk_len = -(-n // num_chunks)
+    pad = num_chunks * chunk_len - n
+    if pad:
+        points = jnp.concatenate(
+            [points, jnp.broadcast_to(identity(curve), (pad, 3, limb.L))],
+            axis=0,
+        )
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((w, pad), dtype=jnp.int32)], axis=1
+        )
+    points = points.reshape(num_chunks, chunk_len, 3, limb.L)
+    digits = digits.reshape(w, num_chunks, chunk_len)
+
+    buckets = jnp.broadcast_to(
+        identity(curve), (w, num_chunks, b, 3, limb.L)
+    )
+    iota_b = jnp.arange(b, dtype=jnp.int32)
+
+    def body(t, buckets):
+        pt = points[:, t]  # [C, 3, L]
+        idx = digits[:, :, t]  # [W, C]
+        onehot = iota_b[None, None, :] == idx[:, :, None]  # [W, C, B]
+        mask = onehot[..., None, None]
+        cur = jnp.sum(
+            jnp.where(mask, buckets, jnp.uint32(0)), axis=2
+        )  # [W, C, 3, L]
+        new = _padd_jax(curve, cur, pt[None])
+        return jnp.where(mask, new[:, :, None], buckets)
+
+    buckets = jax.lax.fori_loop(0, chunk_len, body, buckets)
+    while buckets.shape[1] > 1:
+        m = buckets.shape[1]
+        if m % 2:
+            pad_b = jnp.broadcast_to(identity(curve), (w, 1, b, 3, limb.L))
+            buckets = jnp.concatenate([buckets, pad_b], axis=1)
+        buckets = _padd_jax(curve, buckets[:, 0::2], buckets[:, 1::2])
+    return buckets[:, 0]  # [W, B, 3, L]
+
+
+def _bucket_reduce_narrow(curve, buckets):
+    """[W, B, 3, L] -> [W, 3, L]: Σ_j j·bucket[j] via running sums."""
+    w, b = buckets.shape[0], buckets.shape[1]
+    running = jnp.broadcast_to(identity(curve), (w, 3, limb.L))
+    acc = running
+
+    def body(i, carry):
+        running, acc = carry
+        j = b - 1 - i
+        running = _padd_jax(curve, running, buckets[:, j])
+        acc = _padd_jax(curve, acc, running)
+        return (running, acc)
+
+    _, acc = jax.lax.fori_loop(0, b - 1, body, (running, acc))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _msm_windows_narrow_jit(curve, inputs, c, num_windows, num_chunks):
+    """Fused unsigned/complete MSM window sums (projective output)."""
+    scalars, points = inputs
+    digits = _window_digits(scalars, c, num_windows)
+    buckets = _bucket_accumulate_narrow(curve, points, digits, c, num_chunks)
+    return _bucket_reduce_narrow(curve, buckets)
+
+
 def _signed_window_digits(scalars, c: int, num_windows: int):
     """[N, 16] canonical digits -> (idx [W, N] in [0, 2^(c-1)],
     sign [W, N] bool): signed-digit recoding d' ∈ [−2^(c−1), 2^(c−1)] with
@@ -105,39 +179,41 @@ def _signed_window_digits(scalars, c: int, num_windows: int):
     return jnp.stack(outs_idx, axis=0), jnp.stack(outs_sign, axis=0)
 
 
-def _bucket_accumulate_wide(curve, points_w, idx, sign, c, num_chunks):
-    """points_w [3, L, N] digit-major, idx/sign [W, N] ->
-    buckets [3, L, W, B, C] with B = 2^(c-1)+1.
+def _bucket_accumulate_wide(curve, xs, ys, inf, idx, sign, c, num_chunks):
+    """xs/ys [L, N] affine coordinates (digit-major), inf [N] identity
+    flags, idx/sign [W, N] -> Jacobian buckets [3, L, W, B, C] with
+    B = 2^(c-1)+1.
 
-    Everything stays digit-major: the minor two axes of every stored tensor
-    are (B, C) or (W, C) — large and tile-friendly — instead of (3, 16),
-    which XLA would pad 8x on TPU."""
-    from .device import _padd_wide, identity_wide
+    The inner loop is branchless Jacobian mixed addition (11M+4S with a
+    7-mul doubling fallback under select) — ~2.5x fewer Montgomery muls
+    than complete projective addition, which is the wall on TPU (u32
+    multiply throughput).  Everything stays digit-major: every large
+    tensor ends in (..., L, F) with F = W·C flattened, so XLA's layout
+    assignment has one sensible choice and no tile-padding blowup."""
+    from .device import _jmadd_wide, _jadd_wide, identity_wide
 
     spec = curve.base
-    n = points_w.shape[-1]
+    n = xs.shape[-1]
     w = idx.shape[0]
     b = (1 << (c - 1)) + 1
     chunk_len = -(-n // num_chunks)
     pad = num_chunks * chunk_len - n
     if pad:
-        points_w = jnp.concatenate(
-            [points_w, identity_wide(curve, (pad,))], axis=-1
-        )
+        xs = jnp.pad(xs, ((0, 0), (0, pad)))
+        ys = jnp.pad(ys, ((0, 0), (0, pad)))
+        inf = jnp.pad(inf, (0, pad), constant_values=True)
         idx = jnp.concatenate(
             [idx, jnp.zeros((w, pad), dtype=jnp.int32)], axis=1
         )
         sign = jnp.concatenate(
             [sign, jnp.zeros((w, pad), dtype=bool)], axis=1
         )
-    points_w = points_w.reshape(3, limb.L, num_chunks, chunk_len)
+    xs = xs.reshape(limb.L, num_chunks, chunk_len)
+    ys = ys.reshape(limb.L, num_chunks, chunk_len)
+    inf = inf.reshape(num_chunks, chunk_len)
     idx = idx.reshape(w, num_chunks, chunk_len)
     sign = sign.reshape(w, num_chunks, chunk_len)
 
-    # Loop state is [B, 3, L, F] with F = W*C flattened: every large tensor
-    # the loop touches ends in (..., L, F) — 16 sublanes by a huge lane
-    # axis — so XLA's layout assignment has exactly one sensible choice and
-    # no tensor pays tile padding or per-iteration relayout copies.
     f = w * num_chunks
     buckets = jnp.broadcast_to(
         identity_wide(curve).reshape(1, 3, limb.L, 1), (b, 3, limb.L, f)
@@ -145,26 +221,22 @@ def _bucket_accumulate_wide(curve, points_w, idx, sign, c, num_chunks):
     iota_b = jnp.arange(b, dtype=jnp.int32)
 
     def body(t, buckets):
-        pt = points_w[:, :, :, t]  # [3, L, C]
+        x2 = xs[:, :, t]  # [L, C]
+        y2 = ys[:, :, t]
         ix = idx[:, :, t].reshape(f)  # [F]
         sg = sign[:, :, t]  # [W, C]
-        yneg = limb._neg_wide(spec, pt[1])  # [L, C]
-        y_signed = jnp.where(
-            sg[:, None, :], yneg[None], pt[1][None]
-        )  # [W, L, C]
+        yneg = limb._neg_wide(spec, y2)
+        y_signed = jnp.where(sg[:, None, :], yneg[None], y2[None])  # [W,L,C]
         y_signed = jnp.moveaxis(y_signed, 0, 1).reshape(limb.L, f)
-        xb = jnp.broadcast_to(
-            pt[0][:, None, :], (limb.L, w, num_chunks)
+        x2f = jnp.broadcast_to(
+            x2[:, None, :], (limb.L, w, num_chunks)
         ).reshape(limb.L, f)
-        zb = jnp.broadcast_to(
-            pt[2][:, None, :], (limb.L, w, num_chunks)
-        ).reshape(limb.L, f)
-        pt_signed = jnp.stack([xb, y_signed, zb], axis=0)  # [3, L, F]
+        inff = jnp.broadcast_to(inf[None, :, t], (w, num_chunks)).reshape(f)
         mask = (iota_b[:, None] == ix[None, :])[:, None, None]  # [B,1,1,F]
         cur = jnp.sum(
             jnp.where(mask, buckets, jnp.uint32(0)), axis=0
         )  # [3, L, F]
-        new = _padd_wide(curve, cur, pt_signed)
+        new = _jmadd_wide(curve, cur, x2f, y_signed, inff)
         return jnp.where(mask, new[None], buckets)
 
     buckets = jax.lax.fori_loop(0, chunk_len, body, buckets)
@@ -173,7 +245,7 @@ def _bucket_accumulate_wide(curve, points_w, idx, sign, c, num_chunks):
         buckets.reshape(b, 3, limb.L, w, num_chunks), (1, 2, 3, 0, 4)
     )
 
-    # Fold the chunk axis with a contiguous halving tree: each level padds
+    # Fold the chunk axis with a contiguous halving tree: each level adds
     # the upper half onto the lower half, so the work series sums to ~2x
     # one full-width pass and every level is a free contiguous slice (the
     # callers keep num_chunks a power of two).
@@ -186,16 +258,16 @@ def _bucket_accumulate_wide(curve, points_w, idx, sign, c, num_chunks):
             )
             buckets = jnp.concatenate([buckets, pad_b], axis=-1)
             m += 1
-        buckets = _padd_wide(
+        buckets = _jadd_wide(
             curve, buckets[..., : m // 2], buckets[..., m // 2 :]
         )
     return buckets[..., 0]  # [3, L, W, B]
 
 
 def _bucket_reduce_wide(curve, buckets):
-    """[3, L, W, B] -> [W, 3, L]: Σ_j j·bucket[j] via running sums
+    """[3, L, W, B] -> [W, 3, L] Jacobian: Σ_j j·bucket[j] via running sums
     (msm.rs:166-179); bucket 0 is skipped (weight 0)."""
-    from .device import _padd_wide, identity_wide
+    from .device import _jadd_wide, identity_wide
 
     w, b = buckets.shape[2], buckets.shape[3]
     init = jnp.broadcast_to(
@@ -206,8 +278,8 @@ def _bucket_reduce_wide(curve, buckets):
         running, acc = carry
         j = b - 1 - i
         bj = jax.lax.dynamic_index_in_dim(buckets, j, axis=3, keepdims=False)
-        running = _padd_wide(curve, running, bj)
-        acc = _padd_wide(curve, acc, running)
+        running = _jadd_wide(curve, running, bj)
+        acc = _jadd_wide(curve, acc, running)
         return (running, acc)
 
     _, acc = jax.lax.fori_loop(0, b - 1, body, (init, init))
@@ -217,14 +289,25 @@ def _bucket_reduce_wide(curve, buckets):
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _msm_windows_jit(curve, inputs, c, num_windows, num_chunks):
     """Fully fused MSM window sums: ONE device call computes signed window
-    digits, dense bucket accumulation, the chunk-axis padd tree, and the
-    weighted bucket reduction.  (Per-op dispatch costs a network RTT on the
-    tunneled TPU, so everything between host scalars and the [W,3,L] window
-    sums must be a single program.)"""
+    digits, normalizes the input points to affine (batched inversion — the
+    bucket loop streams affine points into Jacobian mixed additions), runs
+    dense bucket accumulation, the chunk-axis fold tree, and the weighted
+    bucket reduction.  Returns JACOBIAN window sums [W, 3, L].  (Per-op
+    dispatch costs a network RTT on the tunneled TPU, so everything between
+    host scalars and the window sums must be a single program.)"""
+    spec = curve.base
     scalars, points = inputs
     idx, sign = _signed_window_digits(scalars, c, num_windows)
-    points_w = jnp.transpose(points, (1, 2, 0))  # [3, L, N]
-    buckets = _bucket_accumulate_wide(curve, points_w, idx, sign, c, num_chunks)
+    z = points[:, 2]
+    zinv = limb._batch_inv_jax(spec, z)  # zeros stay zero
+    x = limb._mont_mul_jax(spec, points[:, 0], zinv)
+    y = limb._mont_mul_jax(spec, points[:, 1], zinv)
+    inf = jnp.all(z == 0, axis=-1)  # [N]
+    xs = jnp.transpose(x, (1, 0))  # [L, N]
+    ys = jnp.transpose(y, (1, 0))
+    buckets = _bucket_accumulate_wide(
+        curve, xs, ys, inf, idx, sign, c, num_chunks
+    )
     return _bucket_reduce_wide(curve, buckets)
 
 
@@ -246,24 +329,39 @@ def variable_base_msm(
 
         out = _cpp.ec_msm(curve, scalars, points.reshape(n, 3, limb.L))
         return to_affine_host(curve, out[None])[0]
+    import os as _os
+
+    kernel = _os.environ.get("PLONKISH_TPU_MSM_KERNEL", "narrow")
     c = window_size(n)
-    # signed digits need one extra window for the final recoding carry
-    num_windows = -(-curve.scalar.num_bits // c) + 1
-    if num_chunks is None:
-        # bucket tensor is [3, L, W, B, C] u32 with B = 2^(c-1)+1.  C is a
-        # power of two; XLA's temp layouts cost up to ~3.5x in tile padding,
-        # so a ~256 MB unpadded tensor is the safe HBM budget.  The chunk
-        # fold costs 2·W·B·C padds vs n·W for accumulation, so C is also
-        # capped at n/(2B) to keep the fold a minority of the work.
-        nb = (1 << (c - 1)) + 1
-        per_chunk = 3 * limb.L * num_windows * nb * 4
-        cap = max(1, min(256 * 2**20 // per_chunk, n // (2 * nb), n // 4))
-        num_chunks = 1 << (cap.bit_length() - 1)
-    windows = _msm_windows_jit(
-        curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows,
-        num_chunks,
-    )
-    window_points = to_affine_host(curve, windows)
+    if kernel == "narrow":
+        num_windows = -(-curve.scalar.num_bits // c)
+        if num_chunks is None:
+            # [W, C, 2^c, 3, L] bucket tensor; XLA tile-pads the (3, L)
+            # minor pair ~8x and the fused padd temps add a few more x, so
+            # a 48 MB unpadded budget is the safe HBM ceiling here.
+            per_chunk = num_windows * (1 << c) * 3 * limb.L * 4
+            num_chunks = max(1, min(48 * 2**20 // per_chunk, n // 4))
+        windows = _msm_windows_narrow_jit(
+            curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows,
+            num_chunks,
+        )
+        window_points = to_affine_host(curve, windows)
+    else:  # "jacobian": signed digits + digit-major + mixed adds
+        num_windows = -(-curve.scalar.num_bits // c) + 1
+        if num_chunks is None:
+            nb = (1 << (c - 1)) + 1
+            per_chunk = 3 * limb.L * num_windows * nb * 4
+            cap = max(
+                1, min(256 * 2**20 // per_chunk, n // (2 * nb), n // 4)
+            )
+            num_chunks = 1 << (cap.bit_length() - 1)
+        windows = _msm_windows_jit(
+            curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows,
+            num_chunks,
+        )
+        from .device import jacobian_to_affine_host
+
+        window_points = jacobian_to_affine_host(curve, windows)
     acc = AffinePoint.identity(curve)
     for wp in reversed(window_points):
         for _ in range(c):

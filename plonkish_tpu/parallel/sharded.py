@@ -109,18 +109,20 @@ def sharded_msm_windows(curve, mesh: Mesh, scalars, points,
     riding ICI — the communication structure SURVEY §2.8 prescribes.
     """
     from ..curves.msm import _msm_windows_jit
-    from ..curves.device import _padd_jax
+    from ..curves.device import _jadd_wide
 
     def local(scalars_local, points_local):
         wins = _msm_windows_jit(
             curve, (scalars_local, points_local), c, num_windows,
             chunks_per_dev,
-        )  # [W, 3, L]
+        )  # [W, 3, L] Jacobian
         all_wins = jax.lax.all_gather(wins, "data")  # [D, W, 3, L]
-        acc = all_wins[0]
+        acc = jnp.transpose(all_wins[0], (1, 2, 0))  # [3, L, W] wide
         for d in range(1, all_wins.shape[0]):
-            acc = _padd_jax(curve, acc, all_wins[d])
-        return acc
+            acc = _jadd_wide(
+                curve, acc, jnp.transpose(all_wins[d], (1, 2, 0))
+            )
+        return jnp.transpose(acc, (2, 0, 1))
 
     mapped = jax.shard_map(
         local,
@@ -138,7 +140,7 @@ def sharded_msm(curve, mesh: Mesh, scalars, points, num_bits: int | None = None)
     `num_bits` optionally bounds the scalar width (fewer windows) when the
     caller knows the scalars are small — also keeps the virtual-CPU-mesh
     test compile tractable."""
-    from ..curves.device import to_affine_host
+    from ..curves.device import jacobian_to_affine_host
     from ..curves.host import AffinePoint
     from ..curves.msm import window_size
 
@@ -157,7 +159,7 @@ def sharded_msm(curve, mesh: Mesh, scalars, points, num_bits: int | None = None)
     windows = sharded_msm_windows(
         curve, mesh, scalars, points, c, num_windows, chunks_per_dev
     )
-    window_points = to_affine_host(curve, windows)
+    window_points = jacobian_to_affine_host(curve, windows)
     acc = AffinePoint.identity(curve)
     for wp in reversed(window_points):
         for _ in range(c):

@@ -182,7 +182,7 @@ class Expression:
         vectorized evaluator, only values matter.
         """
 
-        def fold(node):
+        def fold_one(node, memo):
             if isinstance(node, Constant):
                 return node
             if isinstance(node, Challenge):
@@ -192,12 +192,12 @@ class Expression:
             if isinstance(node, (CommonPoly, Polynomial)):
                 return node
             if isinstance(node, Negated):
-                a = fold(node.a)
+                a = memo[id(node.a)]
                 if isinstance(a, Constant):
                     return Constant(-a.value)
                 return Negated(a)
             if isinstance(node, Sum):
-                a, b = fold(node.a), fold(node.b)
+                a, b = memo[id(node.a)], memo[id(node.b)]
                 if isinstance(a, Constant) and isinstance(b, Constant):
                     return Constant(a.value + b.value)
                 if isinstance(a, Constant) and a.value.is_zero():
@@ -206,7 +206,7 @@ class Expression:
                     return a
                 return Sum(a, b)
             if isinstance(node, Product):
-                a, b = fold(node.a), fold(node.b)
+                a, b = memo[id(node.a)], memo[id(node.b)]
                 if isinstance(a, Constant) and isinstance(b, Constant):
                     return Constant(a.value * b.value)
                 for x, y in ((a, b), (b, a)):
@@ -217,7 +217,7 @@ class Expression:
                             return y
                 return Product(a, b)
             if isinstance(node, Scaled):
-                a = fold(node.a)
+                a = memo[id(node.a)]
                 if isinstance(a, Constant):
                     return Constant(a.value * node.scalar)
                 if node.scalar.is_zero():
@@ -226,14 +226,28 @@ class Expression:
                     return a
                 return Scaled(a, node.scalar)
             if isinstance(node, DistributePowers):
-                base = fold(node.base)
-                exprs = [fold(e) for e in node.exprs]
+                exprs = [memo[id(e)] for e in node.exprs]
                 if len(exprs) == 1:
                     return exprs[0]
-                return DistributePowers(tuple(exprs), base)
+                return DistributePowers(tuple(exprs), memo[id(node.base)])
             raise TypeError(node)
 
-        return fold(self)
+        # iterative post-order with sharing (deep ASTs overflow recursion)
+        memo: dict = {}
+        stack = [(self, False)]
+        while stack:
+            node, ready = stack.pop()
+            if id(node) in memo:
+                continue
+            kids = _children(node)
+            if kids and not ready:
+                stack.append((node, True))
+                for k in kids:
+                    if id(k) not in memo:
+                        stack.append((k, False))
+                continue
+            memo[id(node)] = fold_one(node, memo)
+        return memo[id(self)]
 
 
 def _merge_sets(a, b):
@@ -299,45 +313,68 @@ class DistributePowers(Expression):
     base: Expression
 
 
-def _eval(node, ops, memo):
-    key = id(node)
-    if key in memo:
-        return memo[key]
+def _children(node):
+    if isinstance(node, (Negated, Scaled)):
+        return (node.a,)
+    if isinstance(node, (Sum, Product)):
+        return (node.a, node.b)
+    if isinstance(node, DistributePowers):
+        return (*node.exprs, node.base)
+    return ()
+
+
+def _eval(root, ops, memo):
+    """Iterative post-order fold (deep circuit ASTs — e.g. 32-bit word sums
+    chained across SHA-256 gates — exceed Python's recursion limit)."""
     constant, common_poly, poly, challenge, negated, sum_, product, scaled = ops
-    if isinstance(node, Constant):
-        out = constant(node.value)
-    elif isinstance(node, CommonPoly):
-        out = common_poly(node.poly)
-    elif isinstance(node, Polynomial):
-        out = poly(node.query)
-    elif isinstance(node, Challenge):
-        out = challenge(node.idx)
-    elif isinstance(node, Negated):
-        out = negated(_eval(node.a, ops, memo))
-    elif isinstance(node, Sum):
-        out = sum_(_eval(node.a, ops, memo), _eval(node.b, ops, memo))
-    elif isinstance(node, Product):
-        out = product(_eval(node.a, ops, memo), _eval(node.b, ops, memo))
-    elif isinstance(node, Scaled):
-        out = scaled(_eval(node.a, ops, memo), node.scalar)
-    elif isinstance(node, DistributePowers):
-        # expression.rs:155-167: e_0 + Σ_{i>=1} base^i * e_i
-        assert node.exprs
-        if len(node.exprs) == 1:
-            out = _eval(node.exprs[0], ops, memo)
+    stack = [(root, False)]
+    while stack:
+        node, ready = stack.pop()
+        key = id(node)
+        if key in memo:
+            continue
+        if not ready:
+            kids = _children(node)
+            if kids:
+                stack.append((node, True))
+                for k in kids:
+                    if id(k) not in memo:
+                        stack.append((k, False))
+                continue
+        if isinstance(node, Constant):
+            out = constant(node.value)
+        elif isinstance(node, CommonPoly):
+            out = common_poly(node.poly)
+        elif isinstance(node, Polynomial):
+            out = poly(node.query)
+        elif isinstance(node, Challenge):
+            out = challenge(node.idx)
+        elif isinstance(node, Negated):
+            out = negated(memo[id(node.a)])
+        elif isinstance(node, Sum):
+            out = sum_(memo[id(node.a)], memo[id(node.b)])
+        elif isinstance(node, Product):
+            out = product(memo[id(node.a)], memo[id(node.b)])
+        elif isinstance(node, Scaled):
+            out = scaled(memo[id(node.a)], node.scalar)
+        elif isinstance(node, DistributePowers):
+            # expression.rs:155-167: e_0 + Σ_{i>=1} base^i * e_i
+            assert node.exprs
+            if len(node.exprs) == 1:
+                out = memo[id(node.exprs[0])]
+            else:
+                scalar = memo[id(node.base)]
+                acc = memo[id(node.exprs[0])]
+                power = scalar
+                for i, expr in enumerate(node.exprs[1:]):
+                    if i > 0:
+                        power = product(power, scalar)
+                    acc = sum_(acc, product(power, memo[id(expr)]))
+                out = acc
         else:
-            scalar = _eval(node.base, ops, memo)
-            acc = _eval(node.exprs[0], ops, memo)
-            power = scalar
-            for i, expr in enumerate(node.exprs[1:]):
-                if i > 0:
-                    power = product(power, scalar)
-                acc = sum_(acc, product(power, _eval(expr, ops, memo)))
-            out = acc
-    else:
-        raise TypeError(node)
-    memo[key] = out
-    return out
+            raise TypeError(node)
+        memo[key] = out
+    return memo[id(root)]
 
 
 # -- helper constructors matching the reference API -------------------------

@@ -124,3 +124,21 @@ def test_protostar_other_pcs(pcs_name):
         "zeromorph": Zeromorph,
     }[pcs_name]()
     run_accumulation_scheme(Protostar(pcs), 4, vanilla_fn)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("PLONKISH_TPU_SLOW") != "1",
+    reason="slow: sha256 IVC folding (set PLONKISH_TPU_SLOW=1)",
+)
+def test_protostar_folds_sha256_circuit():
+    """IVC-style folding of a real circuit: accumulate three SHA-256
+    compression proofs (same structure, different messages) then decide —
+    the reference's aggregation workload realized through folding."""
+    from plonkish_tpu.models.sha256 import sha256_circuit
+
+    def sha_fn(spec, num_vars, witness_seed):
+        msg = bytes([witness_seed & 0xFF]) * 20
+        info, circuit, _ = sha256_circuit(msg, k=num_vars, spec=spec)
+        return info, circuit
+
+    run_accumulation_scheme(Protostar(MultilinearKzg()), 8, sha_fn)
