@@ -279,6 +279,86 @@ def _jadd_wide(curve: CurveSpec, p, q):
     return jnp.where(p2_inf[None, None], p, out)
 
 
+def _jdbl_soa(curve: CurveSpec, p):
+    """Jacobian doubling over struct-of-arrays coordinates (see fields/soa.py
+    — every digit is a named array so XLA fuses the whole formula)."""
+    from ..fields import soa
+
+    spec = curve.base
+    x1, y1, z1 = p
+    a = soa.mont_mul(spec, x1, x1)
+    b = soa.mont_mul(spec, y1, y1)
+    c = soa.mont_mul(spec, b, b)
+    xb = soa.add(spec, x1, b)
+    d = soa.mont_mul(spec, xb, xb)
+    d = soa.sub(spec, soa.sub(spec, d, a), c)
+    d = soa.add(spec, d, d)
+    e = soa.add(spec, soa.add(spec, a, a), a)
+    f = soa.mont_mul(spec, e, e)
+    x3 = soa.sub(spec, f, soa.add(spec, d, d))
+    c8 = soa.add(spec, c, c)
+    c8 = soa.add(spec, c8, c8)
+    c8 = soa.add(spec, c8, c8)
+    y3 = soa.sub(spec, soa.mont_mul(spec, e, soa.sub(spec, d, x3)), c8)
+    z3 = soa.mont_mul(spec, y1, z1)
+    z3 = soa.add(spec, z3, z3)
+    return (x3, y3, z3)
+
+
+def _jmadd_soa(curve: CurveSpec, p, x2, y2, inf2):
+    """Branchless Jacobian += affine over struct-of-arrays digit lists —
+    the SoA twin of `_jmadd_wide` (same formula and select logic)."""
+    from ..fields import soa
+
+    spec = curve.base
+    x1, y1, z1 = p
+    z1z1 = soa.mont_mul(spec, z1, z1)
+    u2 = soa.mont_mul(spec, x2, z1z1)
+    s2 = soa.mont_mul(spec, y2, soa.mont_mul(spec, z1, z1z1))
+    h = soa.sub(spec, u2, x1)
+    hh = soa.mont_mul(spec, h, h)
+    i4 = soa.add(spec, hh, hh)
+    i4 = soa.add(spec, i4, i4)
+    j = soa.mont_mul(spec, h, i4)
+    r = soa.sub(spec, s2, y1)
+    r = soa.add(spec, r, r)
+    v = soa.mont_mul(spec, x1, i4)
+    x3 = soa.sub(
+        spec, soa.sub(spec, soa.mont_mul(spec, r, r), j),
+        soa.add(spec, v, v),
+    )
+    yj = soa.mont_mul(spec, y1, j)
+    y3 = soa.sub(
+        spec, soa.mont_mul(spec, r, soa.sub(spec, v, x3)),
+        soa.add(spec, yj, yj),
+    )
+    zh = soa.add(spec, z1, h)
+    z3 = soa.sub(
+        spec, soa.sub(spec, soa.mont_mul(spec, zh, zh), z1z1), hh
+    )
+
+    p1_inf = soa.is_zero(z1)
+    h_zero = soa.is_zero(h)
+    r_zero = soa.is_zero(r)
+    dbl = jnp.logical_and(h_zero, r_zero)
+    opposite = jnp.logical_and(h_zero, jnp.logical_not(r_zero))
+
+    dx, dy, dz = _jdbl_soa(curve, p)
+    one = soa.const(spec, 1, x2)
+    zero = soa.zeros_like(x2)
+
+    def pick(out, alt, cond):
+        return soa.select(cond, alt, out)
+
+    x3 = pick(pick(pick(pick(x3, zero, opposite), dx, dbl), x2, p1_inf),
+              x1, inf2)
+    y3 = pick(pick(pick(pick(y3, zero, opposite), dy, dbl), y2, p1_inf),
+              y1, inf2)
+    z3 = pick(pick(pick(pick(z3, zero, opposite), dz, dbl), one, p1_inf),
+              z1, inf2)
+    return (x3, y3, z3)
+
+
 def jacobian_to_affine_host(curve: CurveSpec, points: jnp.ndarray):
     """Host conversion of Jacobian [N, 3, L] Montgomery tensors to
     AffinePoints (x/z², y/z³)."""

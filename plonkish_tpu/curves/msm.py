@@ -286,6 +286,135 @@ def _bucket_reduce_wide(curve, buckets):
     return jnp.transpose(acc, (2, 0, 1))  # [W, 3, L]
 
 
+def _bucket_accumulate_soa(curve, xs, ys, inf, idx, sign, c, num_chunks):
+    """Struct-of-arrays twin of `_bucket_accumulate_wide`: bucket state is a
+    pytree of 48 digit arrays [B, F], and the whole Jacobian mixed addition
+    is elementwise between named arrays — XLA fuses the ~1500-op formula
+    into a few passes instead of ~100 (see fields/soa.py)."""
+    from ..fields import soa
+    from .device import _jmadd_soa, identity_wide
+
+    spec = curve.base
+    n = xs.shape[-1]
+    w = idx.shape[0]
+    b = (1 << (c - 1)) + 1
+    chunk_len = -(-n // num_chunks)
+    pad = num_chunks * chunk_len - n
+    if pad:
+        xs = jnp.pad(xs, ((0, 0), (0, pad)))
+        ys = jnp.pad(ys, ((0, 0), (0, pad)))
+        inf = jnp.pad(inf, (0, pad), constant_values=True)
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((w, pad), dtype=jnp.int32)], axis=1
+        )
+        sign = jnp.concatenate(
+            [sign, jnp.zeros((w, pad), dtype=bool)], axis=1
+        )
+    xs = xs.reshape(limb.L, num_chunks, chunk_len)
+    ys = ys.reshape(limb.L, num_chunks, chunk_len)
+    inf = inf.reshape(num_chunks, chunk_len)
+    idx = idx.reshape(w, num_chunks, chunk_len)
+    sign = sign.reshape(w, num_chunks, chunk_len)
+
+    f = w * num_chunks
+    import numpy as np
+
+    mont_one = [
+        jnp.full((b, f), np.uint32(d)) for d in spec.r_digits
+    ]
+    zero_bf = [jnp.zeros((b, f), dtype=jnp.uint32) for _ in range(limb.L)]
+    buckets = (list(zero_bf), list(mont_one), list(zero_bf))  # (0,1,0) = inf
+    iota_b = jnp.arange(b, dtype=jnp.int32)
+
+    def body(t, buckets):
+        bx, by, bz = buckets
+        ix = idx[:, :, t].reshape(f)  # [F]
+        sg = sign[:, :, t].reshape(f)
+        inff = jnp.broadcast_to(inf[None, :, t], (w, num_chunks)).reshape(f)
+        x2, y2 = [], []
+        for d in range(limb.L):
+            xd = jnp.broadcast_to(
+                xs[d, None, :, t], (w, num_chunks)
+            ).reshape(f)
+            yd = jnp.broadcast_to(
+                ys[d, None, :, t], (w, num_chunks)
+            ).reshape(f)
+            x2.append(xd)
+            y2.append(yd)
+        yneg = soa.neg(spec, y2)
+        y2s = soa.select(sg, yneg, y2)
+        mask = iota_b[:, None] == ix[None, :]  # [B, F]
+
+        def gather(ds):
+            return [
+                jnp.sum(jnp.where(mask, d, jnp.uint32(0)), axis=0)
+                for d in ds
+            ]
+
+        cur = (gather(bx), gather(by), gather(bz))
+        nx, ny, nz = _jmadd_soa(curve, cur, x2, y2s, inff)
+
+        def scatter(old, new):
+            return [
+                jnp.where(mask, nd[None, :], od)
+                for od, nd in zip(old, new)
+            ]
+
+        return (scatter(bx, nx), scatter(by, ny), scatter(bz, nz))
+
+    bx, by, bz = jax.lax.fori_loop(0, chunk_len, body, buckets)
+    # repack to [3, L, W, B, C] for the shared fold + weighted reduction
+    coords = []
+    for ds in (bx, by, bz):
+        t = jnp.stack(ds, axis=0)  # [L, B, F]
+        coords.append(
+            jnp.transpose(
+                t.reshape(limb.L, b, w, num_chunks), (0, 2, 1, 3)
+            )
+        )
+    return jnp.stack(coords, axis=0)  # [3, L, W, B, C]
+
+
+def _fold_and_reduce_wide(curve, buckets):
+    """Shared chunk-fold (halving tree) + weighted reduction on the
+    [3, L, W, B, C] Jacobian bucket tensor."""
+    from .device import _jadd_wide, identity_wide
+
+    w, b = buckets.shape[2], buckets.shape[3]
+    while buckets.shape[-1] > 1:
+        m = buckets.shape[-1]
+        if m % 2:
+            pad_b = jnp.broadcast_to(
+                identity_wide(curve).reshape(3, limb.L, 1, 1, 1),
+                (3, limb.L, w, b, 1),
+            )
+            buckets = jnp.concatenate([buckets, pad_b], axis=-1)
+            m += 1
+        buckets = _jadd_wide(
+            curve, buckets[..., : m // 2], buckets[..., m // 2 :]
+        )
+    return _bucket_reduce_wide(curve, buckets[..., 0])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _msm_windows_soa_jit(curve, inputs, c, num_windows, num_chunks):
+    """Fused MSM window sums over the SoA bucket kernel (Jacobian out)."""
+    spec = curve.base
+    scalars, points = inputs
+    idx, sign = _signed_window_digits(scalars, c, num_windows)
+    z = points[:, 2]
+    zinv = limb._batch_inv_jax(spec, z)
+    x = limb._mont_mul_jax(spec, points[:, 0], zinv)
+    y = limb._mont_mul_jax(spec, points[:, 1], zinv)
+    inf = jnp.all(z == 0, axis=-1)
+    xs = jnp.transpose(x, (1, 0))
+    ys = jnp.transpose(y, (1, 0))
+    buckets = _bucket_accumulate_soa(
+        curve, xs, ys, inf, idx, sign, c, num_chunks
+    )
+    return _fold_and_reduce_wide(curve, buckets)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _msm_windows_jit(curve, inputs, c, num_windows, num_chunks):
     """Fully fused MSM window sums: ONE device call computes signed window
@@ -346,7 +475,7 @@ def variable_base_msm(
             num_chunks,
         )
         window_points = to_affine_host(curve, windows)
-    else:  # "jacobian": signed digits + digit-major + mixed adds
+    else:  # "jacobian"/"soa": signed digits + mixed adds
         num_windows = -(-curve.scalar.num_bits // c) + 1
         if num_chunks is None:
             nb = (1 << (c - 1)) + 1
@@ -355,7 +484,10 @@ def variable_base_msm(
                 1, min(256 * 2**20 // per_chunk, n // (2 * nb), n // 4)
             )
             num_chunks = 1 << (cap.bit_length() - 1)
-        windows = _msm_windows_jit(
+        jit_fn = (
+            _msm_windows_soa_jit if kernel == "soa" else _msm_windows_jit
+        )
+        windows = jit_fn(
             curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows,
             num_chunks,
         )

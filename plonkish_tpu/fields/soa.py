@@ -1,0 +1,189 @@
+"""Struct-of-arrays field arithmetic: a batch of field elements is a LIST of
+16 u32 digit arrays (each [*batch]) instead of one [..., 16] tensor.
+
+Why: the tensor-form kernels (limb.py) express digit interactions as pads /
+shifts / concats along the digit axis, which break XLA elementwise fusion —
+a Montgomery multiply lowers to ~100 separate passes over HBM and runs at
+~1% of the VPU's measured 12 Tops/s u32-multiply rate.  With each digit as
+its own named array every operation in the schoolbook product, the carry
+chains, and the one-shot REDC is a plain elementwise op between [batch]
+arrays, so XLA fuses entire point-addition formulas into a handful of memory
+passes.  The cost model flips from pass-count-bound to bytes-per-element
+bound (~192 B/element-mul -> ~4 Gmul/s HBM ceiling, ~18x the tensor form).
+
+Used inside large fused kernels (MSM bucket loop); the tensor form remains
+the interchange format at kernel boundaries.
+
+Same mathematics as limb.py: 16x16-bit LE digits, Montgomery form, one-shot
+REDC via p' = -p^{-1} mod R (reference arithmetic via halo2_curves; see
+fields/spec.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+
+from . import limb
+from .spec import FieldSpec
+
+L = limb.L
+MASK = jnp.uint32(0xFFFF)
+W16 = 16
+
+
+def from_tensor(x) -> List[jnp.ndarray]:
+    """[..., L] digit tensor -> list of L digit arrays [...]."""
+    return [x[..., i] for i in range(L)]
+
+
+def from_wide(x) -> List[jnp.ndarray]:
+    """[L, ...] digit-major tensor -> list of L digit arrays."""
+    return [x[i] for i in range(L)]
+
+
+def to_tensor(ds: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    return jnp.stack(list(ds), axis=-1)
+
+
+def to_wide(ds: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    return jnp.stack(list(ds), axis=0)
+
+
+def zeros_like(ds):
+    return [jnp.zeros_like(d) for d in ds]
+
+
+def const(spec: FieldSpec, value: int, ref) -> List[jnp.ndarray]:
+    """Montgomery constant broadcast against a reference digit array."""
+    import numpy as np
+
+    from .spec import int_to_digits
+
+    digs = int_to_digits(spec.to_mont(value % spec.p))
+    return [jnp.full_like(ref[0], np.uint32(d)) for d in digs]
+
+
+def _carry_chain(ds: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Exact carry propagation over lazy digits (values < 2^32 - 2^16 per
+    lane so adding the incoming carry cannot overflow u32).  Returns L+1
+    digits (the final carry in the last slot)."""
+    out = []
+    carry = None
+    for d in ds:
+        v = d if carry is None else d + carry
+        out.append(v & MASK)
+        carry = v >> W16
+    out.append(carry)
+    return out
+
+
+def _sub_borrow(a: List[jnp.ndarray], b: List[jnp.ndarray]):
+    """a - b with borrow chain; returns (digits, borrow_flag_array)."""
+    out = []
+    borrow = jnp.zeros_like(a[0])
+    for i in range(len(a)):
+        v = a[i] + jnp.uint32(0x10000) - b[i] - borrow
+        out.append(v & MASK)
+        borrow = jnp.uint32(1) - (v >> W16)
+    return out, borrow
+
+
+def _p_digits(spec: FieldSpec, ref) -> List[jnp.ndarray]:
+    import numpy as np
+
+    return [
+        jnp.full_like(ref, np.uint32(d)) for d in spec.p_digits
+    ]
+
+
+def _cond_sub_p(spec: FieldSpec, ds: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    diff, borrow = _sub_borrow(ds, _p_digits(spec, ds[0]))
+    keep = borrow != 0  # borrowed => ds < p
+    return [jnp.where(keep, d, e) for d, e in zip(ds, diff)]
+
+
+def add(spec: FieldSpec, a, b) -> List[jnp.ndarray]:
+    s = _carry_chain([x + y for x, y in zip(a, b)])
+    # sum < 2p < 2^255 so the top carry is always 0
+    return _cond_sub_p(spec, s[:L])
+
+
+def sub(spec: FieldSpec, a, b) -> List[jnp.ndarray]:
+    diff, borrow = _sub_borrow(a, b)
+    wrapped = _carry_chain(
+        [x + y for x, y in zip(diff, _p_digits(spec, a[0]))]
+    )[:L]
+    under = borrow != 0
+    return [jnp.where(under, w, d) for d, w in zip(diff, wrapped)]
+
+
+def neg(spec: FieldSpec, a) -> List[jnp.ndarray]:
+    diff, _ = _sub_borrow(_p_digits(spec, a[0]), a)
+    z = is_zero(a)
+    return [jnp.where(z, jnp.zeros_like(d), d) for d in diff]
+
+
+def is_zero(a) -> jnp.ndarray:
+    acc = a[0]
+    for d in a[1:]:
+        acc = acc | d
+    return acc == 0
+
+
+def _mul_columns(a, b) -> List[jnp.ndarray]:
+    """Schoolbook 16x16 digit product as 2L+1 lazy u32 columns, each
+    < 32 * 2^16 = 2^21: the 16-bit halves of every partial product are
+    accumulated into their columns as independent elementwise ops."""
+    cols: List[jnp.ndarray] = [None] * (2 * L + 1)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(L):
+        ai = a[i]
+        for j in range(L):
+            p = ai * b[j]
+            acc(i + j, p & MASK)
+            acc(i + j + 1, p >> W16)
+    z = jnp.zeros_like(a[0])
+    return [c if c is not None else z for c in cols]
+
+
+def _mul_columns_low(a, b) -> List[jnp.ndarray]:
+    """Low L columns only (mod R), lazy < 2^21."""
+    cols: List[jnp.ndarray] = [None] * L
+
+    def acc(k, v):
+        if k < L:
+            cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(L):
+        ai = a[i]
+        for j in range(L - i):
+            p = ai * b[j]
+            acc(i + j, p & MASK)
+            acc(i + j + 1, p >> W16)
+    z = jnp.zeros_like(a[0])
+    return [c if c is not None else z for c in cols]
+
+
+def mont_mul(spec: FieldSpec, a, b) -> List[jnp.ndarray]:
+    """a*b*R^{-1} mod p, one-shot REDC (same math as limb.redc)."""
+    import numpy as np
+
+    t_lazy = _mul_columns(a, b)  # 2L+1 lazy
+    t = _carry_chain(t_lazy)[: 2 * L + 1]  # exact
+    pp = [jnp.uint32(int(d)) for d in np.asarray(spec.p_prime_digits)]
+    m = _carry_chain(_mul_columns_low(t[:L], pp))[:L]  # exact mod R
+    pd = [jnp.uint32(int(d)) for d in np.asarray(spec.p_digits)]
+    mp = _mul_columns(m, pd)  # 2L+1 lazy
+    u = _carry_chain([x + y for x, y in zip(t, mp)])[: 2 * L + 1]
+    # (T + M·p)/R < 2p: take digits L..2L-1 (digit 2L is zero)
+    return _cond_sub_p(spec, u[L : 2 * L])
+
+
+def select(cond, a, b):
+    """Where cond (bool array) pick digits of a else b."""
+    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
