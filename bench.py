@@ -115,7 +115,7 @@ def bench_fieldmul(log2n: int, iters: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--msm-log2", type=int, default=18)
-    ap.add_argument("--budget", type=int, default=480)
+    ap.add_argument("--budget", type=int, default=1200)
     ap.add_argument("--fieldmul-only", action="store_true")
     args = ap.parse_args()
 
