@@ -721,7 +721,8 @@ class Protostar:
         spec = pp.spec
         instances = circuit.instances()
         for num_instances, column in zip(pp.num_instances, instances):
-            assert len(column) == num_instances
+            if len(column) != num_instances:
+                raise ValueError("instance column length mismatch")
             for v in column:
                 transcript.common_field_element(v)
 
@@ -837,7 +838,8 @@ class Protostar:
         vp = vp_.vp
         spec = vp.spec
         for num_instances, column in zip(vp.num_instances, instances):
-            assert len(column) == num_instances
+            if len(column) != num_instances:
+                raise ValueError("instance column length mismatch")
             for v in column:
                 transcript.common_field_element(v)
 

@@ -132,7 +132,8 @@ class HyperPlonk:
         spec = pp.spec
         instances = circuit.instances()
         for num_instances, column in zip(pp.num_instances, instances):
-            assert len(column) == num_instances
+            if len(column) != num_instances:
+                raise ValueError("instance column length mismatch")
             for instance in column:
                 transcript.common_field_element(instance)
         inst_polys = instance_polys(spec, pp.num_vars, instances)
@@ -230,7 +231,8 @@ class HyperPlonk:
     ) -> None:
         spec = vp.spec
         for num_instances, column in zip(vp.num_instances, instances):
-            assert len(column) == num_instances
+            if len(column) != num_instances:
+                raise ValueError("instance column length mismatch")
             for instance in column:
                 transcript.common_field_element(instance)
 

@@ -33,7 +33,10 @@ class Fp:
     @classmethod
     def from_le_bytes(cls, data: bytes, spec: FieldSpec) -> "Fp":
         v = int.from_bytes(data, "little")
-        assert v < spec.p, "non-canonical field repr"
+        if v >= spec.p:
+            # Explicit raise (not assert): must hold under `python -O` too,
+            # or non-canonical proof encodings become malleable.
+            raise ValueError("non-canonical field repr")
         return cls(v, spec)
 
     @classmethod

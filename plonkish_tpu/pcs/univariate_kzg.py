@@ -33,22 +33,25 @@ class UnivariateKzgParam:
     g1: AffinePoint
     g2: G2Point
     s_g2: G2Point
-    # dev-SRS only: retained so shifted G2 powers (Zeromorph degree check)
-    # can be derived without materializing the full G2 table.
-    s_int: int = 0
+    # s^offset·G2 for every trim offset n − 2^m (Zeromorph degree check,
+    # kzg.rs:84-101 slices the reference's full G2 power table).  Computed at
+    # setup so the trapdoor s is NOT retained in the param: holding the
+    # param must not allow forging openings.
+    offset_g2: Dict[int, G2Point] = dataclasses.field(default_factory=dict)
 
     @property
     def degree(self) -> int:
         return self.powers_of_s_g1.shape[0] - 1
 
     def s_offset_g2(self, offset: int) -> G2Point:
-        return self.g2.scalar_mul(pow(self.s_int, offset, self.g2_order()))
-
-    @staticmethod
-    def g2_order() -> int:
-        from ..fields.spec import BN254_FR
-
-        return BN254_FR.p
+        if offset == 0:
+            return self.g2
+        if offset not in self.offset_g2:
+            raise ValueError(
+                f"SRS has no G2 power for offset {offset}; regenerate the "
+                "setup with a size covering this trim"
+            )
+        return self.offset_g2[offset]
 
 
 @dataclasses.dataclass
@@ -85,9 +88,18 @@ class UnivariateKzg:
             acc = acc * s
         powers_g1 = fixed_base_msm(self.curve, g1, powers)
         g2 = G2Point.generator()
+        # Shifted G2 powers for every power-of-two trim (offset = n − 2^m);
+        # computed while s is in scope so the param need not keep s.
+        offset_g2 = {}
+        m = 1
+        while m <= poly_size:
+            off = poly_size - m
+            if off > 0:
+                offset_g2[off] = g2.scalar_mul(pow(int(s), off, spec.p))
+            m *= 2
         return UnivariateKzgParam(
             powers_of_s_g1=powers_g1, g1=g1, g2=g2,
-            s_g2=g2.scalar_mul(int(s)), s_int=int(s),
+            s_g2=g2.scalar_mul(int(s)), offset_g2=offset_g2,
         )
 
     def trim(self, param: UnivariateKzgParam, poly_size: int, batch_size: int):
