@@ -460,9 +460,22 @@ def variable_base_msm(
         return to_affine_host(curve, out[None])[0]
     import os as _os
 
-    kernel = _os.environ.get("PLONKISH_TPU_MSM_KERNEL", "narrow")
+    kernel = _os.environ.get("PLONKISH_TPU_MSM_KERNEL", "auto")
+    if kernel == "auto":
+        from .. import pallas as _pallas
+
+        kernel = "pallas" if _pallas.is_available() else "narrow"
     c = window_size(n)
-    if kernel == "narrow":
+    if kernel == "pallas":
+        from ..pallas.msm import _msm_windows_pallas_jit
+        from .device import jacobian_to_affine_host
+
+        num_windows = -(-curve.scalar.num_bits // c) + 1
+        windows = _msm_windows_pallas_jit(
+            curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows, 8
+        )
+        window_points = jacobian_to_affine_host(curve, windows)
+    elif kernel == "narrow":
         num_windows = -(-curve.scalar.num_bits // c)
         if num_chunks is None:
             # [W, C, 2^c, 3, L] bucket tensor; XLA tile-pads the (3, L)

@@ -24,12 +24,13 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import limb
 from .spec import FieldSpec
 
 L = limb.L
-MASK = jnp.uint32(0xFFFF)
+MASK = np.uint32(0xFFFF)  # numpy literal: Pallas kernels cannot capture jax scalars
 W16 = 16
 
 
@@ -84,9 +85,9 @@ def _sub_borrow(a: List[jnp.ndarray], b: List[jnp.ndarray]):
     out = []
     borrow = jnp.zeros_like(a[0])
     for i in range(len(a)):
-        v = a[i] + jnp.uint32(0x10000) - b[i] - borrow
+        v = a[i] + np.uint32(0x10000) - b[i] - borrow
         out.append(v & MASK)
-        borrow = jnp.uint32(1) - (v >> W16)
+        borrow = np.uint32(1) - (v >> W16)
     return out, borrow
 
 
@@ -175,9 +176,9 @@ def mont_mul(spec: FieldSpec, a, b) -> List[jnp.ndarray]:
 
     t_lazy = _mul_columns(a, b)  # 2L+1 lazy
     t = _carry_chain(t_lazy)[: 2 * L + 1]  # exact
-    pp = [jnp.uint32(int(d)) for d in np.asarray(spec.p_prime_digits)]
+    pp = [np.uint32(int(d)) for d in np.asarray(spec.p_prime_digits)]
     m = _carry_chain(_mul_columns_low(t[:L], pp))[:L]  # exact mod R
-    pd = [jnp.uint32(int(d)) for d in np.asarray(spec.p_digits)]
+    pd = [np.uint32(int(d)) for d in np.asarray(spec.p_digits)]
     mp = _mul_columns(m, pd)  # 2L+1 lazy
     u = _carry_chain([x + y for x, y in zip(t, mp)])[: 2 * L + 1]
     # (T + M·p)/R < 2p: take digits L..2L-1 (digit 2L is zero)

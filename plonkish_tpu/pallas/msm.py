@@ -1,0 +1,156 @@
+"""Pallas MSM bucket accumulation (Pippenger inner loop).
+
+Reference algorithm: /root/reference/plonkish_backend/src/util/arithmetic/
+msm.rs:84-181 (serial per-thread buckets).  TPU redesign:
+
+- signed window digits (computed in an XLA prologue, curves/msm.py) so the
+  bucket count per window is B = 2^(c-1)+1 with bucket 0 dead;
+- grid (W, T): window-major, then T blocks of S*128 points.  Each of the
+  C = S*128 VPU lanes owns a private copy of the B buckets and serially
+  accumulates its point stream with one branchless Jacobian mixed addition
+  per grid step (struct-of-arrays digits — curves/device.py:_jmadd_soa);
+- buckets live in the OUTPUT block (VMEM-resident while the window index
+  is unchanged — the Pallas accumulator pattern), read/written densely via
+  a one-hot select over the small bucket axis (TPUs have no atomics and
+  scatters serialize; dense select over B=17 rows is pure VPU traffic);
+- the per-window weighted bucket reduction and the C-lane fold run in XLA
+  afterwards on the [3, L, W, B, C] tensor (curves/msm.py helpers).
+
+The kernel body compiles once (one jmadd + one-hot r/w ≈ a few K VPU ops)
+regardless of n — this is what unblocks bench sizes: the fused XLA variants
+of this loop OOMed the compiler at 2^18 (docs/PERF_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import LANE, SUBLANE, TILE, interpret_mode
+from ..fields import limb, soa
+from ..fields.spec import FieldSpec
+
+L = limb.L
+
+
+def _bucket_kernel(curve, B, T, xs_ref, ys_ref, inf_ref, idx_ref, sgn_ref,
+                   out_ref):
+    """Grid (W, T).  out block [1, 3, L, B, S, LANE] = this window's bucket
+    state, accumulated across the T point blocks."""
+    from ..curves.device import _jmadd_soa
+
+    spec = curve.base
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        zero = jnp.zeros(out_ref.shape[3:], dtype=jnp.uint32)
+        for d in range(L):
+            out_ref[0, 0, d] = zero
+            out_ref[0, 1, d] = zero + np.uint32(spec.r_digits[d])  # Mont 1
+            out_ref[0, 2, d] = zero
+
+    x2 = [xs_ref[d] for d in range(L)]  # each [S, LANE]
+    y2 = [ys_ref[d] for d in range(L)]
+    inf2 = inf_ref[:] != 0
+    ix = idx_ref[0]  # [S, LANE] int32
+    sg = sgn_ref[0] != 0
+
+    y2 = soa.select(sg, soa.neg(spec, y2), y2)
+
+    v = out_ref[0]  # [3, L, B, S, LANE]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B,) + ix.shape, 0)
+    mask = iota == ix[None]  # [B, S, LANE]
+
+    def gather(c):
+        digs = []
+        for d in range(L):
+            acc = jnp.zeros_like(v[c, d, 0])
+            for b in range(B):
+                acc = jnp.where(mask[b], v[c, d, b], acc)
+            digs.append(acc)
+        return digs
+
+    cur = (gather(0), gather(1), gather(2))
+    nx, ny, nz = _jmadd_soa(curve, cur, x2, y2, inf2)
+    for c, nd in ((0, nx), (1, ny), (2, nz)):
+        for d in range(L):
+            out_ref[0, c, d] = jnp.where(mask, nd[d][None], v[c, d])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _msm_windows_pallas_jit(curve, inputs, c, num_windows, sublanes):
+    """Fused MSM window sums via the Pallas bucket kernel.
+
+    ONE device program: signed digit decomposition, affine normalization,
+    the Pallas bucket grid, and the XLA chunk-fold + weighted bucket
+    reduction.  Returns Jacobian window sums [W, 3, L]."""
+    from ..curves.msm import _signed_window_digits
+    from ..curves.msm import _fold_and_reduce_wide
+
+    spec = curve.base
+    scalars, points = inputs
+    n = points.shape[0]
+    w = num_windows
+    b = (1 << (c - 1)) + 1
+    s = sublanes
+    tile = s * LANE
+
+    idx, sign = _signed_window_digits(scalars, c, w)  # [W, N]
+    z = points[:, 2]
+    zinv = limb._batch_inv_jax(spec, z)  # zeros stay zero
+    x = limb._mont_mul_jax(spec, points[:, 0], zinv)
+    y = limb._mont_mul_jax(spec, points[:, 1], zinv)
+    inf = jnp.all(z == 0, axis=-1)  # [N]
+
+    pad = (-n) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, pad), (0, 0)))
+        inf = jnp.pad(inf, (0, pad), constant_values=True)
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        sign = jnp.pad(sign, ((0, 0), (0, pad)))
+    m = n + pad
+    r = m // LANE
+    t_steps = r // s
+
+    xs = jnp.transpose(x, (1, 0)).reshape(L, r, LANE)
+    ys = jnp.transpose(y, (1, 0)).reshape(L, r, LANE)
+    inf_t = inf.astype(jnp.uint32).reshape(r, LANE)
+    idx_t = idx.reshape(w, r, LANE)
+    sgn_t = sign.astype(jnp.uint32).reshape(w, r, LANE)
+
+    kernel = functools.partial(_bucket_kernel, curve, b, t_steps)
+    buckets = pl.pallas_call(
+        kernel,
+        grid=(w, t_steps),
+        in_specs=[
+            pl.BlockSpec((L, s, LANE), lambda wi, ti: (0, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, s, LANE), lambda wi, ti: (0, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, LANE), lambda wi, ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, LANE), lambda wi, ti: (wi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, LANE), lambda wi, ti: (wi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, L, b, s, LANE), lambda wi, ti: (wi, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((w, 3, L, b, s, LANE), jnp.uint32),
+        interpret=interpret_mode(),
+    )(xs, ys, inf_t, idx_t, sgn_t)
+
+    # [W, 3, L, B, S, LANE] -> [3, L, W, B, C]; fold C + weighted reduce.
+    wide = jnp.transpose(buckets, (1, 2, 0, 3, 4, 5)).reshape(
+        3, L, w, b, tile
+    )
+    return _fold_and_reduce_wide(curve, wide)

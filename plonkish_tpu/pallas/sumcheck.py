@@ -1,0 +1,295 @@
+"""Pallas sum-check round kernels (EvaluationsProver hot loop).
+
+Reference semantics: /root/reference/plonkish_backend/src/piop/sum_check/
+classic/eval.rs:92-322 (per-round evals at t=1..d with per-poly steps) and
+classic.rs:90-141 (fix_var fold).  TPU redesign:
+
+- tables stream through VMEM in [L, S, 128] digit-major tiles; all digit
+  interactions are struct-of-arrays VPU ops (fields/soa.py), so the kernel
+  body is a few K ops compiled ONCE per (expression, size) and iterated by
+  the grid — the fused XLA variant of this loop OOMed the compiler at
+  k>=18 because its [.., 16]-minor temps tile-pad 8x (docs/PERF_NOTES.md);
+- grid (d, blocks): per t the expression tape is evaluated on each block
+  at leaf values hi + (t-1)*(hi-lo); per-lane partial sums accumulate in a
+  VMEM scratch and are flushed as exact u32 digit sums (lo/hi 16-bit
+  halves) at the last block — the host reduces mod p;
+- the fix_var fold (lo + c*(hi-lo)) is a second tiny kernel on the same
+  pre-split lo/hi arrays, gridded over (table, block).
+
+Small rounds (pair count < PALLAS_MIN_SIZE) stay on the existing fused XLA
+path, which compiles fine there — so each prove pays a handful of Mosaic
+compiles for the big rounds only (all persistently cached).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import LANE, SUBLANE, TILE, interpret_mode
+from ..fields import limb, soa
+from ..fields.spec import FieldSpec, int_to_digits
+
+L = limb.L
+
+# Minimum pair count routed to the Pallas kernels; below this the existing
+# fused XLA round program is used (it compiles fine at small sizes and
+# avoids per-round Mosaic compiles for the cheap tail rounds).
+PALLAS_MIN_SIZE = 1 << 13
+
+
+def _eval_expression_soa(spec: FieldSpec, expr, leaves: Dict):
+    """Catamorphism over struct-of-arrays digit lists (the Pallas twin of
+    sum_check._eval_expression_device)."""
+    from ..utils.expression import EqXY, Identity, Lagrange
+
+    ref = next(iter(leaves.values()))
+
+    def cst(c):
+        return soa.const(spec, int(c), ref)
+
+    def common(cp):
+        if isinstance(cp, Identity):
+            return leaves[("identity",)]
+        if isinstance(cp, Lagrange):
+            return leaves[("lagrange", cp.i)]
+        if isinstance(cp, EqXY):
+            return leaves[("eq_xy", cp.idx)]
+        raise TypeError(cp)
+
+    return expr.evaluate(
+        cst,
+        common,
+        lambda q: leaves[("poly", q.poly, q.rotation.value)],
+        lambda idx: (_ for _ in ()).throw(
+            AssertionError("challenges must be substituted")
+        ),
+        lambda a: soa.neg(spec, a),
+        lambda a, b: soa.add(spec, a, b),
+        lambda a, b: soa.mont_mul(spec, a, b),
+        lambda a, s: soa.mont_mul(spec, a, cst(s)),
+    )
+
+
+def _round_kernel(spec, expr, keys, num_blocks, use_identity,
+                  lo_ref, hi_ref, idc_ref, off_ref, step_ref,
+                  out_ref, acc_ref):
+    """Grid (d, num_blocks): evaluate the round polynomial at t = 1 + t_idx
+    over one block and accumulate per-lane digit sums."""
+    t_idx = pl.program_id(0)
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _reset():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    lo = lo_ref[:]  # [T, L, S, LANE]
+    hi = hi_ref[:]
+
+    def at_t(base, step):
+        return jax.lax.fori_loop(
+            0, t_idx, lambda _, cu: soa.add(spec, cu, step), base
+        )
+
+    leaves = {}
+    for ki, key in enumerate(keys):
+        h = [hi[ki, d] for d in range(L)]
+        l_ = [lo[ki, d] for d in range(L)]
+        leaves[key] = at_t(h, soa.sub(spec, h, l_))
+
+    if use_identity:
+        # identity value at (t, b) = off + (t-1)*2^round + b*2^(round+1)
+        # with off = mont(offset + 2^round); C = 2^(round+1)*R^2 folds the
+        # scaling into one Montgomery multiply of b's raw digits.
+        shape = (lo.shape[2], LANE)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        b = bi * (lo.shape[2] * LANE) + row * LANE + col
+        bd = [
+            (b & 0xFFFF).astype(jnp.uint32),
+            (b >> 16).astype(jnp.uint32),
+        ] + [jnp.zeros(shape, jnp.uint32)] * (L - 2)
+        cd = [jnp.broadcast_to(idc_ref[d], shape) for d in range(L)]
+        od = [jnp.broadcast_to(off_ref[d], shape) for d in range(L)]
+        sd = [jnp.broadcast_to(step_ref[d], shape) for d in range(L)]
+        base = soa.add(spec, soa.mont_mul(spec, bd, cd), od)
+        leaves[("identity",)] = at_t(base, sd)
+
+    res = _eval_expression_soa(spec, expr, leaves)
+    for d in range(L):
+        acc_ref[d] = acc_ref[d] + res[d]
+
+    @pl.when(bi == num_blocks - 1)
+    def _flush():
+        for d in range(L):
+            # int32 sums: Mosaic lacks unsigned reductions; halves fit
+            # (low: <= lanes*2^16, high: <= lanes*2^12 < 2^31)
+            v = acc_ref[d]
+            lo16 = (v & 0xFFFF).astype(jnp.int32)
+            hi16 = (v >> 16).astype(jnp.int32)
+            out_ref[t_idx, 2 * d] = jnp.sum(lo16).astype(jnp.uint32)
+            out_ref[t_idx, 2 * d + 1] = jnp.sum(hi16).astype(jnp.uint32)
+
+
+def _fold_kernel(spec, lo_ref, hi_ref, ch_ref, out_ref):
+    """new = lo + c*(hi - lo) for one table block (fix_var)."""
+    l_ = [lo_ref[0, d] for d in range(L)]
+    h = [hi_ref[0, d] for d in range(L)]
+    shape = l_[0].shape
+    ch = [jnp.broadcast_to(ch_ref[d], shape) for d in range(L)]
+    out = soa.add(
+        spec, l_, soa.mont_mul(spec, soa.sub(spec, h, l_), ch)
+    )
+    for d in range(L):
+        out_ref[0, d] = out[d]
+
+
+def _split_pairs(stacked):
+    """[T, n, L] tensor-form tables -> lane-tiled lo/hi [T, L, R, LANE]
+    over the pair index (pairs are adjacent elements: fix the first
+    variable, multilinear.rs:599-618)."""
+    t, n, _ = stacked.shape
+    size = n // 2
+    r = size // LANE
+    dm = jnp.transpose(stacked, (0, 2, 1))  # [T, L, n]
+    grid = dm.reshape(t, L, size, 2)
+    lo = grid[..., 0].reshape(t, L, r, LANE)
+    hi = grid[..., 1].reshape(t, L, r, LANE)
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _round_evals_jit(spec, expr, keys, degree, use_identity,
+                     stacked, idc, off, step):
+    """[T, n, L] tables -> [degree, 2L] exact u32 digit sums of the round
+    polynomial evaluations at t = 1..degree."""
+    lo, hi = _split_pairs(stacked)
+    t, _, r, _ = lo.shape
+    s = min(SUBLANE, r)
+    nb = r // s
+    kern = functools.partial(
+        _round_kernel, spec, expr, keys, nb, use_identity
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(degree, nb),
+        in_specs=[
+            pl.BlockSpec((t, L, s, LANE), lambda ti, bi: (0, 0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, L, s, LANE), lambda ti, bi: (0, 0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((degree, 2 * L), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((L, s, LANE), jnp.uint32)],
+        interpret=interpret_mode(),
+    )(lo, hi, idc, off, step)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fold_tables_jit(spec, stacked, challenge_digits):
+    """[T, n, L] tables -> [T, n/2, L] folded with fix_var(challenge)."""
+    lo, hi = _split_pairs(stacked)
+    t, _, r, _ = lo.shape
+    s = min(SUBLANE, r)
+    nb = r // s
+    out = pl.pallas_call(
+        functools.partial(_fold_kernel, spec),
+        grid=(t, nb),
+        in_specs=[
+            pl.BlockSpec((1, L, s, LANE), lambda ti, bi: (ti, 0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, s, LANE), lambda ti, bi: (ti, 0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, s, LANE),
+                               lambda ti, bi: (ti, 0, bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, L, r, LANE), jnp.uint32),
+        interpret=interpret_mode(),
+    )(lo, hi, challenge_digits)
+    size = r * LANE
+    return jnp.transpose(out.reshape(t, L, size), (0, 2, 1))
+
+
+def usable(size: int) -> bool:
+    """Pallas round path handles pair counts that are multiples of the
+    VPU tile and large enough to amortize a Mosaic compile.  Disabled when
+    a device mesh is active: pallas_call does not auto-partition under
+    GSPMD (a multi-chip pallas round kernel would need shard_map; the
+    sharded prover uses the fused XLA path instead)."""
+    from . import is_available
+    from ..parallel import get_mesh
+
+    return (
+        size >= PALLAS_MIN_SIZE
+        and size % LANE == 0
+        and get_mesh() is None
+        and is_available()
+    )
+
+
+def round_evals(state, tables: Dict, expr, degree: int) -> List[int]:
+    """Round polynomial evaluations at t=1..degree as canonical ints
+    (host-reduced from exact digit sums)."""
+    spec = state.spec
+    keys = tuple(sorted(tables))
+    stacked = jnp.stack([tables[k] for k in keys], axis=0)
+    use_identity = ("identity",) in _used_leaves(expr)
+    c_int = ((1 << (state.round + 1)) * spec.r2_mod_p) % spec.p
+    off_int = spec.to_mont(
+        (int(state.identity_offset) + (1 << state.round)) % spec.p
+    )
+    step_int = spec.to_mont((1 << state.round) % spec.p)
+    idc = jnp.asarray(int_to_digits(c_int))
+    off = jnp.asarray(int_to_digits(off_int))
+    stp = jnp.asarray(int_to_digits(step_int))
+    sums = np.asarray(
+        _round_evals_jit(
+            spec, expr, keys, degree, use_identity, stacked, idc, off, stp
+        )
+    )
+    out = []
+    for t in range(degree):
+        total = 0
+        for d in range(L):
+            total += (int(sums[t, 2 * d]) + (int(sums[t, 2 * d + 1]) << 16)) << (16 * d)
+        out.append(spec.from_mont(total % spec.p))
+    return out
+
+
+def _used_leaves(expr):
+    from ..utils.expression import Identity
+
+    leaves = set()
+    expr.evaluate(
+        lambda _: None,
+        lambda cp: leaves.add(("identity",)) if isinstance(cp, Identity) else None,
+        lambda q: None,
+        lambda c: None,
+        lambda a: None,
+        lambda a, b: None,
+        lambda a, b: None,
+        lambda a, s: None,
+    )
+    return leaves
+
+
+def fold_tables(spec: FieldSpec, tables: Dict, challenge) -> Dict:
+    """fix_var over every table in one Pallas program; returns the same
+    dict shape with halved tables (tensor form [n/2, L])."""
+    keys = tuple(sorted(tables))
+    stacked = jnp.stack([tables[k] for k in keys], axis=0)
+    ch = jnp.asarray(int_to_digits(spec.to_mont(int(challenge) % spec.p)))
+    folded = _fold_tables_jit(spec, stacked, ch)
+    return {k: folded[i] for i, k in enumerate(keys)}

@@ -223,6 +223,21 @@ class ProverState:
                     query.poly
                 ].evals[rmap]
 
+        if not limb.IS_CPP:
+            # Multi-chip: place every table with the hypercube axis sharded
+            # over the active mesh (high-order bits -> fix_var pairs stay
+            # local); GSPMD partitions the fused round programs and inserts
+            # the psum/all-gather collectives (SURVEY §2.8).
+            from ..parallel import maybe_shard_rows
+
+            self.lagranges = {
+                i: maybe_shard_rows(v) for i, v in self.lagranges.items()
+            }
+            self.eq_xys = [maybe_shard_rows(v) for v in self.eq_xys]
+            self.polys = {
+                k: maybe_shard_rows(v) for k, v in self.polys.items()
+            }
+
     @property
     def size(self) -> int:
         return 1 << (self.num_vars - self.round - 1)
@@ -242,7 +257,12 @@ class ProverState:
                 {("eq_xy", i): v for i, v in enumerate(self.eq_xys)}
             )
             tables.update({("poly", *k): v for k, v in self.polys.items()})
-            folded = _fold_all_jax(spec, tables, c)
+            from ..pallas import sumcheck as _psc
+
+            if _psc.usable(self.size):
+                folded = _psc.fold_tables(spec, tables, challenge)
+            else:
+                folded = _fold_all_jax(spec, tables, c)
             self.lagranges = {
                 i: folded[("lagrange", i)] for i in self.lagranges
             }
@@ -432,6 +452,15 @@ class EvaluationsProver:
             tables[("eq_xy", idx)] = tbl
         for key, tbl in state.polys.items():
             tables[("poly", *key)] = tbl
+        from ..pallas import sumcheck as _psc
+
+        if _psc.usable(size):
+            vals = _psc.round_evals(state, tables, self.expr, d)
+            evals = [Fp.zero(spec)] * (d + 1)
+            for t in range(1, d + 1):
+                evals[t] = Fp(vals[t - 1], spec)
+            evals[0] = state.sum - evals[1]
+            return Evaluations(evals)
         key = (id(self.expr), size, state.round, tuple(sorted(map(str, tables))))
         if key not in self._round_fns:
             self._round_fns[key] = self._jax_round_fn(state, size)

@@ -1,0 +1,186 @@
+"""On-chip validation of the Pallas kernels (run with the TPU attached).
+
+Bit-exactness checks that tests/test_pallas.py would run in interpret mode,
+executed natively on the TPU instead (interpret mode's per-grid-step inlining
+makes the CPU XLA compile intractable).  Usage:
+
+    python scripts/validate_pallas_tpu.py            # all kernels
+    python scripts/validate_pallas_tpu.py sumcheck   # subset
+"""
+
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+os.environ.setdefault("PLONKISH_TPU_BACKEND", "jax")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/plonkish_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import random
+import types
+
+import jax.numpy as jnp
+import numpy as np
+
+from plonkish_tpu.fields import BN254_FR, limb
+from plonkish_tpu.fields.host import Fp
+from plonkish_tpu.utils.expression import (
+    CommonPoly,
+    Constant,
+    EqXY,
+    Identity,
+    Lagrange,
+    Polynomial,
+    Query,
+    Rotation,
+)
+
+SPEC = BN254_FR
+RNG = random.Random(0xFEED)
+
+
+def rand_mont_jnp(n):
+    vals = [RNG.randrange(SPEC.p) for _ in range(n)]
+    arr = np.zeros((n, limb.L), dtype=np.uint32)
+    for i, v in enumerate(vals):
+        m = SPEC.to_mont(v)
+        for d in range(limb.L):
+            arr[i, d] = (m >> (16 * d)) & 0xFFFF
+    return jnp.asarray(arr), vals
+
+
+def check_sumcheck(size=1 << 13):
+    from plonkish_tpu.pallas import sumcheck as psc
+
+    w0 = Polynomial(Query(0, Rotation(0)))
+    w1 = Polynomial(Query(1, Rotation(0)))
+    eq = CommonPoly(EqXY(0))
+    ident = CommonPoly(Identity())
+    lag = CommonPoly(Lagrange(1))
+    expr = eq * (
+        w0 * w1 + ident + lag * Constant(Fp(3, SPEC)) + Constant(Fp(7, SPEC))
+    )
+    degree = expr.degree()
+
+    tables, host = {}, {}
+    for key in [("poly", 0, 0), ("poly", 1, 0), ("eq_xy", 0), ("lagrange", 1)]:
+        tables[key], vals = rand_mont_jnp(2 * size)
+        host[key] = vals
+
+    round_, offset = 2, 12345
+    state = types.SimpleNamespace(
+        spec=SPEC, round=round_, identity_offset=Fp(offset, SPEC)
+    )
+    t0 = time.time()
+    got = psc.round_evals(state, tables, expr, degree)
+    print(f"round_evals cold: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    got2 = psc.round_evals(state, tables, expr, degree)
+    print(f"round_evals warm: {time.time() - t0:.3f}s")
+    assert got == got2
+
+    p = SPEC.p
+
+    def eval_host(leaves, idv):
+        def common(cp):
+            if isinstance(cp, Identity):
+                return idv
+            if isinstance(cp, Lagrange):
+                return leaves[("lagrange", cp.i)]
+            if isinstance(cp, EqXY):
+                return leaves[("eq_xy", cp.idx)]
+
+        return expr.evaluate(
+            lambda c: int(c) % p,
+            common,
+            lambda q: leaves[("poly", q.poly, q.rotation.value)],
+            None,
+            lambda a: (-a) % p,
+            lambda a, b: (a + b) % p,
+            lambda a, b: (a * b) % p,
+            lambda a, s: (a * int(s)) % p,
+        )
+
+    want = []
+    for t in range(1, degree + 1):
+        total = 0
+        for b in range(size):
+            leaves = {
+                k: (v[2 * b + 1] + (t - 1) * (v[2 * b + 1] - v[2 * b])) % p
+                for k, v in host.items()
+            }
+            idv = (offset + t * (1 << round_) + b * (1 << (round_ + 1))) % p
+            total = (total + eval_host(leaves, idv)) % p
+        want.append(total)
+    assert got == want, f"sumcheck MISMATCH\n got={got}\nwant={want}"
+    print("sumcheck round_evals: MATCH")
+
+    ch = Fp(RNG.randrange(SPEC.p), SPEC)
+    folded = psc.fold_tables(SPEC, tables, ch)
+    c = limb.const(SPEC, int(ch))
+    for k, tbl in tables.items():
+        ref = limb._fold_pairs_jax(SPEC, tbl, jnp.asarray(np.asarray(c)))
+        assert np.array_equal(np.asarray(folded[k]), np.asarray(ref)), k
+    print("sumcheck fold_tables: MATCH")
+
+
+def check_msm(n=1 << 12):
+    from plonkish_tpu.curves.device import from_affine_host, jacobian_to_affine_host
+    from plonkish_tpu.curves.host import AffinePoint, msm_host
+    from plonkish_tpu.curves.specs import BN254_G1
+    from plonkish_tpu.curves.msm import window_size
+    from plonkish_tpu.pallas.msm import _msm_windows_pallas_jit
+
+    curve = BN254_G1
+    c = window_size(n)
+    w = -(-curve.scalar.num_bits // c) + 1
+    scalars_int = [RNG.randrange(curve.scalar.p) for _ in range(n)]
+    g = AffinePoint.generator(curve)
+    pts = [g.scalar_mul(RNG.randrange(1, 1 << 62)) for _ in range(n)]
+    pts[3] = AffinePoint.identity(curve)
+    dev = from_affine_host(curve, pts)
+    scal = limb.from_ints(scalars_int)
+
+    t0 = time.time()
+    windows = _msm_windows_pallas_jit(
+        curve,
+        (jnp.asarray(np.asarray(scal)), jnp.asarray(np.asarray(dev))),
+        c, w, 8,
+    )
+    jax.block_until_ready(windows)
+    print(f"msm 2^{n.bit_length() - 1} cold: {time.time() - t0:.1f}s (c={c}, w={w})")
+    t0 = time.time()
+    jax.block_until_ready(
+        _msm_windows_pallas_jit(
+            curve,
+            (jnp.asarray(np.asarray(scal)), jnp.asarray(np.asarray(dev))),
+            c, w, 8,
+        )
+    )
+    dt = time.time() - t0
+    print(f"msm warm: {dt:.3f}s ({n / dt / 1e3:.1f}K pts/s)")
+
+    window_points = jacobian_to_affine_host(curve, windows)
+    acc = AffinePoint.identity(curve)
+    for wp in reversed(window_points):
+        for _ in range(c):
+            acc = acc.double()
+        acc = acc + wp
+    expect = msm_host([Fp(s, curve.scalar) for s in scalars_int], pts)
+    assert acc == expect, "msm MISMATCH"
+    print("msm bucket kernel: MATCH")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print("backend:", jax.default_backend())
+    if which in ("all", "sumcheck"):
+        check_sumcheck()
+    if which in ("all", "msm"):
+        check_msm()
+    print("OK")
