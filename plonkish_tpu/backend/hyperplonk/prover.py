@@ -20,6 +20,7 @@ from typing import Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ... import config
 from ...fields import limb
 from ...fields.host import Fp
 from ...fields.spec import FieldSpec
@@ -85,26 +86,45 @@ def lookup_compressed_polys(
 def lookup_m_polys(
     compressed_polys: List[Tuple[MLPoly, MLPoly]]
 ) -> List[MLPoly]:
-    """Multiplicity polynomials (prover.rs:139-192).  Counting is inherently
-    hash-map-shaped; runs on host over canonical values."""
+    """Multiplicity polynomials (prover.rs:139-192).
+
+    The reference counts with a per-thread HashMap; hash maps don't
+    vectorize, so this uses sort-based counting instead (SURVEY §2.8):
+    np.unique over the union of table/input digit rows yields dense ids,
+    then a bincount gives per-value multiplicities and a minimum-scatter
+    finds each value's first table row (the reference keeps the first
+    occurrence, prover.rs:150-158).  No per-row Python loop remains."""
+    import numpy as np
+
     out = []
     for (input_poly, table_poly) in compressed_polys:
         spec = input_poly.spec
         n = len(input_poly)
-        input_blob = limb.to_bytes_rows(limb.from_mont(spec, input_poly.evals))
-        table_blob = limb.to_bytes_rows(limb.from_mont(spec, table_poly.evals))
-        index_map = {}
-        for idx in range(n):
-            key = table_blob[32 * idx: 32 * idx + 32]
-            if key not in index_map:
-                index_map[key] = idx
-        m = [0] * n
-        for i in range(n):
-            idx = index_map.get(input_blob[32 * i: 32 * i + 32])
-            if idx is None:
-                raise ValueError("Invalid lookup input")
-            m[idx] += 1
-        out.append(MLPoly.from_ints(spec, m))
+        inp = np.asarray(limb.from_mont(spec, input_poly.evals)).astype(
+            np.uint16
+        )
+        tbl = np.asarray(limb.from_mont(spec, table_poly.evals)).astype(
+            np.uint16
+        )
+        _, inv = np.unique(
+            np.concatenate([tbl, inp], axis=0), axis=0, return_inverse=True
+        )
+        tbl_ids, inp_ids = inv[:n], inv[n:]
+        num_ids = int(inv.max()) + 1
+        first_row = np.full(num_ids, n, dtype=np.int64)
+        np.minimum.at(first_row, tbl_ids, np.arange(n, dtype=np.int64))
+        counts = np.bincount(inp_ids, minlength=num_ids)
+        missing = (first_row == n) & (counts > 0)
+        if missing.any():
+            raise ValueError("Invalid lookup input")
+        m = np.zeros(n, dtype=np.uint32)
+        hit = counts > 0
+        m[first_row[hit]] = counts[hit]
+        digits = np.zeros((n, limb.L), dtype=np.uint32)
+        digits[:, 0] = m & 0xFFFF
+        digits[:, 1] = m >> 16
+        evals = limb.to_mont(spec, limb.xnp.asarray(digits))
+        out.append(MLPoly(spec, evals))
     return out
 
 
@@ -129,6 +149,13 @@ def lookup_h_polys(
             inv[:n],
             limb.mont_mul(spec, inv[n:], m_poly.evals),
         )
+        if config.sanity_checks():
+            # reference `sanity-check` feature: Σh == 0 (prover.rs:245-247)
+            total = 0
+            for v in limb.to_ints(limb.from_mont(spec, h)):
+                total = (total + int(v)) % spec.p
+            if total != 0:
+                raise AssertionError("sanity: lookup h polys do not sum to 0")
         out.append(MLPoly(spec, h))
     return out
 
@@ -194,9 +221,18 @@ def permutation_z_polys(
     stacked = xnp.stack(products, axis=0)  # [nc, n, L]
     bs = order[1:]  # [n-1]
     seq = stacked[:, bs]  # [nc, n-1, L] -> want interleave chunk-major per b
-    seq = xnp.swapaxes(seq, 0, 1).reshape((n - 1) * nc, limb.L)
-    seq = seq[: nc * n - nc - 1]
+    seq_full = xnp.swapaxes(seq, 0, 1).reshape((n - 1) * nc, limb.L)
+    seq = seq_full[: nc * n - nc - 1]
     cum = limb.prefix_mul(spec, seq)
+    if config.sanity_checks():
+        # reference `sanity-check` feature: the grand product over every
+        # chunk and row must close to 1 (prover.rs:325-331)
+        last = limb.mont_mul(spec, cum[-1:], seq_full[-1:])
+        val = int(limb.to_ints(limb.from_mont(spec, last))[0])
+        if val != 1:
+            raise AssertionError(
+                "sanity: permutation grand product != 1"
+            )
     z_flat = xnp.concatenate(
         [limb.zeros((nc,)), limb.one(spec, (1,)), cum], axis=0
     )  # [nc*n, L]

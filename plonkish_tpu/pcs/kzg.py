@@ -16,6 +16,7 @@ from typing import List, Sequence
 
 import jax.numpy as jnp
 
+from .. import config
 from ..backend.pcs_api import Evaluation
 from ..curves.device import from_affine_host
 from ..curves.host import AffinePoint, msm_host
@@ -152,6 +153,13 @@ class MultilinearKzg:
         spec = self.field_spec
         num_vars = poly.num_vars
         assert len(point) == num_vars
+        if config.sanity_checks():
+            # reference `sanity-check` feature (kzg.rs:286-296): the claimed
+            # commitment and evaluation must match the polynomial.
+            if comm is not None and self.commit(pp, poly) != comm:
+                raise AssertionError("sanity: kzg open comm mismatch")
+            if poly.evaluate(list(point)) != eval_:
+                raise AssertionError("sanity: kzg open eval mismatch")
         remainder = poly.evals
         quotient_comms: List[AffinePoint] = []  # var k-1 first
         for var in range(num_vars - 1, -1, -1):
