@@ -62,6 +62,16 @@ class Cell:
     row: int
 
 
+@dataclasses.dataclass(frozen=True)
+class ChallengeHandle:
+    """A Fiat–Shamir challenge squeezed after the given phase's witness
+    commitments (halo2.rs:55-91 captures these from the constraint system;
+    here they are first-class builder objects)."""
+
+    index: int  # creation order
+    phase: int
+
+
 class CircuitBuilder:
     """Collects circuit structure; `build` freezes it into backend inputs."""
 
@@ -72,6 +82,7 @@ class CircuitBuilder:
         self._instance_sizes: List[int] = []
         self._num_fixed = 0
         self._advice_phases: List[int] = []
+        self._challenge_phases: List[int] = []
         self._gates: List[Tuple[str, Callable]] = []
         self._lookups: List[List[Tuple[object, object]]] = []
         self._copies: List[Tuple[Cell, Cell]] = []
@@ -94,6 +105,26 @@ class CircuitBuilder:
         col = Column("advice", len(self._advice_phases), phase)
         self._advice_phases.append(phase)
         return col
+
+    def challenge(self, phase: int = 0) -> ChallengeHandle:
+        """Declare a challenge available after the phase-`phase` witness
+        columns are committed.  Usable in gate/lookup expressions and (via
+        `challenge_index`) by later-phase `witness_fn` calls
+        (halo2.rs:585-648 phase-indexed challenge layout)."""
+        handle = ChallengeHandle(len(self._challenge_phases), phase)
+        self._challenge_phases.append(phase)
+        return handle
+
+    def challenge_index(self, handle: ChallengeHandle) -> int:
+        """Flattened (phase-major) index of a challenge — the position in
+        the `challenges` list handed to `witness_fn` and to expressions."""
+        earlier = sum(1 for p in self._challenge_phases if p < handle.phase)
+        within = sum(
+            1
+            for i, p in enumerate(self._challenge_phases)
+            if p == handle.phase and i < handle.index
+        )
+        return earlier + within
 
     # ---- structure ----
     def gate(self, name: str, expr) -> None:
@@ -140,6 +171,8 @@ class CircuitBuilder:
             return ex.Polynomial(
                 Query(self.poly_index(q.column), Rotation(q.rotation))
             )
+        if isinstance(q, ChallengeHandle):
+            return ex.Challenge(self.challenge_index(q))
         if isinstance(q, Expression):
             return q
         if isinstance(q, (int, Fp)):
@@ -207,7 +240,16 @@ class CircuitBuilder:
             sum(1 for p in self._advice_phases if p == phase)
             for phase in range(num_phases)
         ]
-        num_challenges = [0] * num_phases
+        num_phases = max(
+            num_phases, max(self._challenge_phases, default=-1) + 1
+        )
+        num_witness_polys = num_witness_polys + [0] * (
+            num_phases - len(num_witness_polys)
+        )
+        num_challenges = [
+            sum(1 for p in self._challenge_phases if p == phase)
+            for phase in range(num_phases)
+        ]
 
         info = PlonkishCircuitInfo(
             k=self.k,
