@@ -42,7 +42,10 @@ def main(argv=None) -> None:
     ap.add_argument(
         "--circuit",
         default="vanilla_plonk",
-        choices=["vanilla_plonk", "vanilla_plonk_with_lookup", "sha256"],
+        choices=[
+            "vanilla_plonk", "vanilla_plonk_with_lookup", "sha256",
+            "aggregation",
+        ],
     )
     ap.add_argument("--k", default="8..10", help="range, e.g. 8..12")
     ap.add_argument(
@@ -107,10 +110,16 @@ def main(argv=None) -> None:
         )
         return info, circuit
 
+    def rand_aggregation(spec, k, rng1, rng2):
+        from plonkish_tpu.models.aggregation import rand_aggregation_circuit
+
+        return rand_aggregation_circuit(spec, k, rng1, rng2)
+
     circuit_fn = {
         "vanilla_plonk": rand_vanilla_plonk_circuit,
         "vanilla_plonk_with_lookup": rand_vanilla_plonk_with_lookup_circuit,
         "sha256": rand_sha256,
+        "aggregation": rand_aggregation,
     }[args.circuit]
 
     lo, hi = args.k.split("..")
