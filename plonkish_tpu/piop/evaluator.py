@@ -55,7 +55,17 @@ def evaluate_on_hypercube(
     challenges: Sequence[Fp],
     eq_tables: Sequence[jnp.ndarray] = (),
 ) -> jnp.ndarray:
-    """Evaluate `expression` at every hypercube point -> [2^k, 16] tensor."""
+    """Evaluate `expression` at every hypercube point -> [2^k, 16] tensor.
+
+    jax mode runs the register-allocated instruction tape (piop/tape.py) —
+    one scan program whose compiled size is O(1) in the expression — since
+    the inlined AST walk blows up XLA compile time past a few dozen field
+    ops; the native backend keeps the direct walk (each op is one OpenMP
+    C++ call, no compile step)."""
+    if not limb.IS_CPP:
+        return _evaluate_on_hypercube_tape(
+            spec, expression, num_vars, polys, challenges, eq_tables
+        )
     bh = BooleanHypercube(num_vars)
     rot_cache: Dict[int, jnp.ndarray] = {}
 
@@ -92,4 +102,47 @@ def evaluate_on_hypercube(
         lambda a, b: limb.add(spec, a, b),
         lambda a, b: limb.mont_mul(spec, a, b),
         lambda a, s: limb.mont_mul(spec, a, limb.const(spec, int(s))),
+    )
+
+
+def _evaluate_on_hypercube_tape(
+    spec: FieldSpec,
+    expression: Expression,
+    num_vars: int,
+    polys: Sequence[jnp.ndarray],
+    challenges: Sequence[Fp],
+    eq_tables: Sequence[jnp.ndarray] = (),
+) -> jnp.ndarray:
+    from . import tape as tape_mod
+
+    tape = tape_mod.compile_tape(
+        expression, spec, [int(c) for c in challenges]
+    )
+    bh = BooleanHypercube(num_vars)
+    rows = []
+    for key in tape.leaf_keys:
+        if key[0] == "poly":
+            _, idx, rot = key
+            tbl = polys[idx]
+            if rot != 0:
+                tbl = tbl[limb.xnp.asarray(bh.rotation_map(rot))]
+            rows.append(tbl)
+        elif key == ("identity",):
+            rows.append(identity_table(spec, num_vars))
+        elif key[0] == "lagrange":
+            rows.append(lagrange_table(spec, num_vars, key[1]))
+        elif key[0] == "eq_xy":
+            rows.append(eq_tables[key[1]])
+        else:
+            raise AssertionError(key)
+    if not rows:  # constant expression
+        rows = [limb.zeros((1 << num_vars,))]
+    leaves = jnp.stack(rows, axis=0)
+    return tape_mod.eval_tape(
+        spec,
+        tape.num_regs,
+        tape.out_reg,
+        jnp.asarray(tape.instrs),
+        leaves,
+        tape.const_rows(spec),
     )

@@ -293,12 +293,88 @@ import functools as _functools
 
 import jax as _jax
 
+# tail sum-check rounds are zero-padded up to this many pairs so they share
+# one compiled round program (see _tape_round_jax)
+_TAPE_PAD_SIZE = 1 << 10
+
 
 @_functools.partial(_jax.jit, static_argnums=0)
 def _fold_all_jax(spec, tables, challenge):
-    return {
-        k: limb._fold_pairs_jax(spec, v, challenge) for k, v in tables.items()
-    }
+    # every live table has the same [2*size, L] shape: one stacked fold
+    # keeps the compiled program size independent of the table count
+    keys = sorted(tables)
+    stacked = jnp.stack([tables[k] for k in keys], axis=0)
+    t, n2, l_ = stacked.shape
+    pairs = stacked.reshape(t, n2 // 2, 2, l_)
+    folded = limb._fold_halves_jax(
+        spec, pairs[:, :, 0], pairs[:, :, 1], challenge
+    )
+    return {k: folded[i] for i, k in enumerate(keys)}
+
+
+@_functools.partial(_jax.jit, static_argnums=(0, 1, 2, 3))
+def _tape_round_jax(
+    spec, tape, degree, use_identity, stacked, consts, id_mul, id_off,
+    id_step, mask
+):
+    """One fused round message: [T, 2*size, L] tables (tape leaf order,
+    identity excluded) -> [degree, L] Montgomery totals at t = 1..degree.
+
+    The t-axis is materialized up front (leaf value at t is hi + (t-1)*step,
+    eval.rs:210-322's per-poly step trick) and the tape is evaluated once
+    over the [degree*size] batch; compiled size is O(tape switch), not
+    O(expression).  `mask` ([size] u32 0/1) zeroes rows past the true live
+    size — small rounds are zero-padded to one shared shape so every tail
+    round reuses a single compiled program (XLA CPU takes ~5s per field-op
+    program; without padding each of the last ~10 rounds would recompile)."""
+    from . import tape as tape_mod
+
+    t_cnt, n2, l_ = stacked.shape
+    size = n2 // 2
+    grid = stacked.reshape(t_cnt, size, 2, l_)
+    lo, hi = grid[:, :, 0], grid[:, :, 1]
+    step = limb._sub_jax(spec, hi, lo)
+    rows = {}
+    per_t = [hi]
+    for t in range(1, degree):
+        per_t.append(limb._add_jax(spec, per_t[-1], step))
+    by_leaf = jnp.stack(per_t, axis=1)  # [T, d, size, L]
+    row_iter = iter(range(t_cnt))
+    for key in tape.leaf_keys:
+        if key != ("identity",):
+            rows[key] = by_leaf[next(row_iter)]
+    if use_identity:
+        # identity value at (t, b) = off + (t-1)*2^round + b*2^(round+1);
+        # the scaling folds into id_mul = 2^(round+1)*R^2 so only b's raw
+        # 16-bit digits enter the Montgomery multiply
+        b = jnp.arange(size, dtype=jnp.uint32)
+        digits = jnp.stack([b & 0xFFFF, b >> 16], axis=-1)
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((size, limb.L - 2), dtype=jnp.uint32)],
+            axis=-1,
+        )
+        base = limb._add_jax(
+            spec, limb._mont_mul_jax(spec, digits, id_mul), id_off
+        )
+        id_t = [base]
+        for t in range(1, degree):
+            id_t.append(
+                limb._add_jax(
+                    spec, id_t[-1], jnp.broadcast_to(id_step, base.shape)
+                )
+            )
+        rows[("identity",)] = jnp.stack(id_t, axis=0)
+    leaves = jnp.stack([rows[k] for k in tape.leaf_keys], axis=0)
+    leaves = leaves.reshape(len(tape.leaf_keys), degree * size, l_)
+    out = tape_mod.eval_tape(
+        spec, tape.num_regs, tape.out_reg, jnp.asarray(tape.instrs),
+        leaves, consts,
+    )  # [degree*size, L]
+    out = out.reshape(degree, size, l_)
+    out = jnp.where((mask > 0)[None, :, None], out, jnp.uint32(0))
+    # one reduction over the whole [size, degree, L] block (a sum_reduce is
+    # its own ~8s XLA CPU compile; d of them dominated the round's cold cost)
+    return limb._sum_reduce_jax(spec, jnp.transpose(out, (1, 0, 2)))
 
 
 def _eq_xy_table(spec, y):
@@ -388,58 +464,6 @@ class EvaluationsProver:
 
     def __init__(self, state: ProverState):
         self.expr = state.expression.simplified(state.challenges)
-        self._round_fns = {}
-
-    def _jax_round_fn(self, state, size):
-        import jax
-
-        d = state.degree
-        spec = state.spec
-        expr = self.expr
-        round_ = state.round
-
-        def fn(tables, id_offset):
-            leaves = {}
-            for key, tbl in tables.items():
-                grid = tbl.reshape(size, 2, -1)
-                lo, hi = grid[:, 0], grid[:, 1]
-                leaves[key] = (hi, limb._sub_jax(spec, hi, lo))
-            from ..fields.spec import int_to_digits as _itd
-
-            id_step = jnp.asarray(
-                _itd(spec.to_mont((1 << round_) % spec.p))
-            )
-            b = jnp.arange(size, dtype=jnp.uint32)
-            digits = jnp.stack([b & 0xFFFF, b >> 16], axis=-1)
-            digits = jnp.concatenate(
-                [digits, jnp.zeros((size, limb.L - 2), dtype=jnp.uint32)],
-                axis=-1,
-            )
-            from ..fields.spec import int_to_digits
-
-            c = ((1 << (round_ + 1)) * spec.r2_mod_p) % spec.p
-            id_base = limb._add_jax(
-                spec,
-                limb._mont_mul_jax(spec, digits, jnp.asarray(int_to_digits(c))),
-                id_offset,
-            )
-            leaves[("identity",)] = (id_base, jnp.broadcast_to(id_step, id_base.shape))
-
-            outs = []
-            current = {k: v for k, (v, _) in leaves.items()}
-            for t in range(1, d + 1):
-                if t > 1:
-                    current = {
-                        k: limb._add_jax(spec, current[k], leaves[k][1])
-                        for k in current
-                    }
-                result = _eval_expression_device(
-                    spec, expr, current, size, force_jax=True
-                )
-                outs.append(limb._sum_reduce_jax(spec, result))
-            return jnp.stack(outs)
-
-        return jax.jit(fn)
 
     def _prove_round_jax(self, state: ProverState) -> Evaluations:
         spec = state.spec
@@ -461,19 +485,40 @@ class EvaluationsProver:
                 evals[t] = Fp(vals[t - 1], spec)
             evals[0] = state.sum - evals[1]
             return Evaluations(evals)
-        key = (id(self.expr), size, state.round, tuple(sorted(map(str, tables))))
-        if key not in self._round_fns:
-            self._round_fns[key] = self._jax_round_fn(state, size)
-        id_offset = limb.const(
+
+        # Compile-size-bounded path: SSA tape + lax.scan (piop/tape.py).
+        from ..fields.spec import int_to_digits
+        from . import tape as tape_mod
+
+        t = tape_mod.tape_for(self.expr, spec)
+        use_identity = ("identity",) in t.leaf_keys
+        stacked = jnp.stack(
+            [tables[k] for k in t.leaf_keys if k != ("identity",)], axis=0
+        )
+        # pad tail rounds up to one shared shape (see _tape_round_jax)
+        psize = max(size, _TAPE_PAD_SIZE)
+        if size < psize:
+            stacked = jnp.pad(
+                stacked, ((0, 0), (0, 2 * (psize - size)), (0, 0))
+            )
+        mask = np.zeros(psize, np.uint32)
+        mask[:size] = 1
+        c = ((1 << (state.round + 1)) * spec.r2_mod_p) % spec.p
+        id_mul = jnp.asarray(int_to_digits(c))
+        id_off = limb.const(
             spec,
             (int(state.identity_offset) + (1 << state.round)) % spec.p,
             mont=True,
         )
-        totals = self._round_fns[key](tables, id_offset)  # [d, L] Montgomery
+        id_step = limb.const(spec, (1 << state.round) % spec.p, mont=True)
+        totals = _tape_round_jax(
+            spec, t, d, use_identity, stacked, t.const_rows(spec),
+            id_mul, id_off, id_step, jnp.asarray(mask),
+        )  # [d, L] Montgomery
         vals = limb.to_ints(limb.from_mont(spec, totals))
         evals = [Fp.zero(spec)] * (d + 1)
-        for t in range(1, d + 1):
-            evals[t] = Fp(int(vals[t - 1]), spec)
+        for t_ in range(1, d + 1):
+            evals[t_] = Fp(int(vals[t_ - 1]), spec)
         evals[0] = state.sum - evals[1]
         return Evaluations(evals)
 

@@ -337,7 +337,11 @@ def _eval(root, ops, memo):
             kids = _children(node)
             if kids:
                 stack.append((node, True))
-                for k in kids:
+                # reversed so children POP left-to-right: a left-leaning sum
+                # chain then folds as (t1 t2 + t3 + ...), keeping only O(1)
+                # intermediate values live — the tape register allocator
+                # (piop/tape.py) depends on this for bounded register count
+                for k in reversed(kids):
                     if id(k) not in memo:
                         stack.append((k, False))
                 continue
