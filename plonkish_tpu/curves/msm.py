@@ -376,24 +376,58 @@ def _bucket_accumulate_soa(curve, xs, ys, inf, idx, sign, c, num_chunks):
 
 
 def _fold_and_reduce_wide(curve, buckets):
-    """Shared chunk-fold (halving tree) + weighted reduction on the
-    [3, L, W, B, C] Jacobian bucket tensor."""
+    """Weighted bucket reduction + chunk-fold on the [3, L, W, B, C]
+    Jacobian bucket tensor -> [W, 3, L] window sums.
+
+    Both stages are `fori_loop`s over a FIXED [3, L, W, C] shape so the
+    compiled program holds exactly two Jacobian-add bodies regardless of B
+    and C — the earlier unrolled halving tree compiled one jadd per level
+    and took minutes of XLA compile (and ~1s runtime) at bench sizes:
+
+    1. running-sum weighted reduction over the bucket axis at full lane
+       width (Σ_b b·bucket[b,c] per lane c — msm.rs:166-179 per lane);
+    2. lane fold tree: each level rolls the live upper half onto the lower
+       half and parks dead lanes at the identity, halving the live width.
+    """
     from .device import _jadd_wide, identity_wide
 
-    w, b = buckets.shape[2], buckets.shape[3]
-    while buckets.shape[-1] > 1:
-        m = buckets.shape[-1]
-        if m % 2:
-            pad_b = jnp.broadcast_to(
-                identity_wide(curve).reshape(3, limb.L, 1, 1, 1),
-                (3, limb.L, w, b, 1),
-            )
-            buckets = jnp.concatenate([buckets, pad_b], axis=-1)
-            m += 1
-        buckets = _jadd_wide(
-            curve, buckets[..., : m // 2], buckets[..., m // 2 :]
+    w, b, c_lanes = buckets.shape[2], buckets.shape[3], buckets.shape[4]
+    if c_lanes & (c_lanes - 1):
+        pow2 = 1 << (c_lanes - 1).bit_length()
+        pad = jnp.broadcast_to(
+            identity_wide(curve).reshape(3, limb.L, 1, 1, 1),
+            (3, limb.L, w, b, pow2 - c_lanes),
         )
-    return _bucket_reduce_wide(curve, buckets[..., 0])
+        buckets = jnp.concatenate([buckets, pad], axis=-1)
+        c_lanes = pow2
+
+    ident = jnp.broadcast_to(
+        identity_wide(curve).reshape(3, limb.L, 1, 1),
+        (3, limb.L, w, c_lanes),
+    )
+
+    def bucket_body(i, carry):
+        running, acc = carry
+        j = b - 1 - i
+        bj = jax.lax.dynamic_index_in_dim(buckets, j, axis=3, keepdims=False)
+        running = _jadd_wide(curve, running, bj)
+        acc = _jadd_wide(curve, acc, running)
+        return (running, acc)
+
+    _, acc = jax.lax.fori_loop(0, b - 1, bucket_body, (ident, ident))
+
+    lane = jnp.arange(c_lanes, dtype=jnp.int32)
+
+    def fold_body(i, x):
+        half = c_lanes >> (i + 1)
+        rolled = jnp.roll(x, -half, axis=-1)
+        y = _jadd_wide(curve, x, rolled)
+        keep = lane < half
+        return jnp.where(keep, y, ident)
+
+    levels = c_lanes.bit_length() - 1
+    folded = jax.lax.fori_loop(0, levels, fold_body, acc)
+    return jnp.transpose(folded[..., 0], (2, 0, 1))  # [W, 3, L]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
