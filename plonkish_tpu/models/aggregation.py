@@ -156,7 +156,10 @@ def rand_aggregation_circuit(
     for poly in (5, 6, 7, 8, 9):
         permutation.copy((poly, 1), (poly, 1))
 
-    bits = witness_rng.getrandbits(size)
+    # the add/double schedule is circuit STRUCTURE (selectors + copy
+    # wiring), so it must come from the preprocess rng — circuits sharing a
+    # preprocess seed must be foldable into one accumulator
+    bits = preprocess_rng.getrandbits(size)
     for idx in range(1, size - 1):
         x1_col[idx] = ax
         y1_col[idx] = ay
