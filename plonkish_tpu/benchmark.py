@@ -33,7 +33,10 @@ def main(argv=None) -> None:
     ap.add_argument(
         "--system",
         default="hyperplonk",
-        choices=["hyperplonk", "univariate_plonk", "protostar", "sangria"],
+        choices=[
+            "hyperplonk", "univariate_plonk", "protostar", "sangria",
+            "zero_check",
+        ],
         help="protostar/sangria time the per-step accumulation fold "
         "(reference Protostar::prove_accumulation_from_nark, "
         "accumulation/protostar/hyperplonk.rs:241-331) instead of a "
@@ -55,6 +58,12 @@ def main(argv=None) -> None:
     ap.add_argument("--backend", default="cpp", choices=["cpp", "jax"])
     ap.add_argument("--samples", type=int, default=None)
     ap.add_argument("--breakdown", action="store_true")
+    ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="write a jax.profiler device trace of one prove to DIR",
+    )
     args = ap.parse_args(argv)
 
     os.environ.setdefault("PLONKISH_TPU_BACKEND", args.backend)
@@ -129,6 +138,79 @@ def main(argv=None) -> None:
     out_path = f"target/bench/{args.system}"
     if args.breakdown:
         timer.set_enabled(True)
+
+    if args.system == "zero_check":
+        # sum-check prover alone over the composed vanilla-PLONK zero-check
+        # expression with a VALID assignment — the reference's zero_check
+        # criterion bench (plonkish_backend/benches/zero_check.rs:18-42,
+        # k=20..24), the headline sum-check scaling metric.
+        from plonkish_tpu.backend.hyperplonk.preprocessor import (
+            compose,
+            permutation_polys,
+        )
+        from plonkish_tpu.backend.hyperplonk.prover import (
+            instance_polys,
+            permutation_z_polys,
+        )
+        from plonkish_tpu.fields import BN254_FR as spec
+        from plonkish_tpu.fields.host import Fp
+        from plonkish_tpu.piop.sum_check import (
+            ClassicSumCheck,
+            VirtualPolynomial,
+        )
+        from plonkish_tpu.poly.multilinear import MLPoly
+
+        assert args.circuit == "vanilla_plonk", "zero_check: vanilla only"
+        for k in ks:
+            rng = random.Random(42)
+            circuit_info, circuit = circuit_fn(
+                spec, k, random.Random(42), random.Random(4242)
+            )
+            num_z, expression = compose(circuit_info)
+            inst = instance_polys(spec, k, circuit.instances())
+            pre = [
+                MLPoly.from_fps(spec, col)
+                for col in circuit_info.preprocess_polys
+            ]
+            wit = [
+                MLPoly.from_fps(spec, col)
+                for col in circuit.synthesize(0, [])
+            ]
+            perm_idx = circuit_info.permutation_polys()
+            perm = permutation_polys(
+                spec, k, perm_idx, circuit_info.permutations
+            )
+            beta = Fp(rng.randrange(spec.p), spec)
+            gamma = Fp(rng.randrange(spec.p), spec)
+            alpha = Fp(rng.randrange(spec.p), spec)
+            base_polys = inst + pre + wit
+            z = permutation_z_polys(
+                num_z, list(zip(perm_idx, perm)), base_polys, beta, gamma
+            )
+            polys = base_polys + perm + z
+            challenges = [beta, gamma, alpha]
+            y = [Fp(rng.randrange(spec.p), spec) for _ in range(k)]
+            samples = args.samples or _sample_size(k)
+            times = []
+            for _ in range(samples + 1):  # first sample warms the compiles
+                tr = Keccak256Transcript(spec)
+                t0 = time.perf_counter()
+                ClassicSumCheck.evaluations().prove(
+                    spec, k,
+                    VirtualPolynomial(expression, polys, challenges, [y]),
+                    Fp.zero(spec), tr,
+                )
+                times.append(time.perf_counter() - t0)
+            cold_ms = times[0] * 1e3
+            times = times[1:]
+            avg_ms = sum(times) / len(times) * 1e3
+            with open(out_path, "a") as f:
+                f.write(f"{k}, {avg_ms:.3f}\n")
+            print(
+                f"k={k} zero_check prove avg {avg_ms:.1f} ms "
+                f"(first incl compile {cold_ms:.0f} ms)", flush=True
+            )
+        return
 
     if args.system == "univariate_plonk":
         # the reference's halo2 comparison system (FFT + univariate KZG)
@@ -218,6 +300,15 @@ def main(argv=None) -> None:
             backend.prove(pp, circuit, tr)
             prove_times.append(time.perf_counter() - t0)
             proof = tr.into_proof()
+        if args.profile:
+            # device-timeline trace of one extra prove (view with
+            # tensorboard / xprof; reference uses pprof flamegraphs)
+            import jax
+
+            with jax.profiler.trace(args.profile):
+                tr = Keccak256Transcript(spec)
+                backend.prove(pp, circuit, tr)
+            print(f"  jax.profiler trace written to {args.profile}")
 
         t0 = time.perf_counter()
         backend.verify(
@@ -237,8 +328,25 @@ def main(argv=None) -> None:
         )
         if args.breakdown:
             print("  cost breakdown (last prove):")
+            breakdown_ms = {}
             for cat, secs in timer.cost_breakdown().items():
+                breakdown_ms[cat] = secs / samples * 1e3
                 print(f"    {cat:14s} {secs / samples * 1e3:9.2f} ms")
+            _append_breakdown(out_path + ".breakdown.json", k, breakdown_ms)
+
+
+def _append_breakdown(path: str, k: int, breakdown_ms) -> None:
+    """Persist per-k category costs for the plotter's stacked bars
+    (reference plotter.rs:16-57 parses the same data from trace logs)."""
+    import json
+
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data[str(k)] = breakdown_ms
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
 
 
 if __name__ == "__main__":

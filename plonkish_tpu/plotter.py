@@ -88,6 +88,58 @@ def render_svg(series: Dict[str, List[Tuple[int, float]]], out_path: str):
     print(f"wrote {out_path}")
 
 
+def render_breakdown_svg(system: str, data: Dict[str, Dict[str, float]],
+                         out_path: str):
+    """Stacked per-category cost bars per k (reference plotter.rs:94-130's
+    cost-breakdown chart).  data: {k(str): {category: ms}}."""
+    ks = sorted(data, key=int)
+    cats: List[str] = []
+    for bars in data.values():
+        for c in bars:
+            if c not in cats and bars[c] > 0:
+                cats.append(c)
+    width, height, pad = 640, 400, 56
+    max_total = max(sum(v for v in bars.values()) for bars in data.values())
+    bar_w = min(64, (width - 2 * pad) / max(len(ks), 1) * 0.7)
+    svg = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="monospace" font-size="12">',
+        f'<rect width="{width}" height="{height}" fill="white"/>',
+        f'<text x="{width / 2}" y="20" text-anchor="middle">'
+        f"{system} cost breakdown (ms)</text>",
+    ]
+    for i, k in enumerate(ks):
+        cx = pad + (i + 0.5) * (width - 2 * pad) / len(ks)
+        y0 = height - pad
+        for cat in cats:
+            ms = data[k].get(cat, 0.0)
+            h = (ms / max_total) * (height - 2 * pad)
+            y0 -= h
+            color = PALETTE[cats.index(cat) % len(PALETTE)]
+            svg.append(
+                f'<rect x="{cx - bar_w / 2:.1f}" y="{y0:.1f}" '
+                f'width="{bar_w:.1f}" height="{h:.1f}" fill="{color}"/>'
+            )
+        svg.append(
+            f'<text x="{cx:.1f}" y="{height - pad + 16}" '
+            f'text-anchor="middle">k={k}</text>'
+        )
+    for j, cat in enumerate(cats):
+        color = PALETTE[j % len(PALETTE)]
+        ly = pad + 16 * j
+        svg.append(
+            f'<rect x="{width - pad - 120}" y="{ly - 10}" width="12" '
+            f'height="12" fill="{color}"/>'
+        )
+        svg.append(
+            f'<text x="{width - pad - 102}" y="{ly}">{cat}</text>'
+        )
+    svg.append("</svg>")
+    with open(out_path, "w") as f:
+        f.write("\n".join(svg))
+    print(f"wrote {out_path}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="target/bench")
@@ -96,11 +148,21 @@ def main(argv=None):
     series = {}
     for name in os.listdir(args.dir):
         path = os.path.join(args.dir, name)
-        if os.path.isfile(path) and not name.endswith(".svg"):
-            try:
-                series[name] = read_series(path)
-            except ValueError:
-                continue
+        if not os.path.isfile(path) or name.endswith(".svg"):
+            continue
+        if name.endswith(".breakdown.json"):
+            with open(path) as f:
+                data = json.load(f)
+            system = name[: -len(".breakdown.json")]
+            render_breakdown_svg(
+                system, data,
+                os.path.join(args.dir, f"{system}.breakdown.svg"),
+            )
+            continue
+        try:
+            series[name] = read_series(path)
+        except ValueError:
+            continue
     out = args.out or os.path.join(args.dir, "plot.svg")
     render_svg(series, out)
 
