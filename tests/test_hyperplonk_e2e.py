@@ -33,7 +33,7 @@ def run_plonkish_backend(num_vars, circuit_fn):
     return proof
 
 
-@pytest.mark.parametrize("num_vars", [2, 3, 5])
+@pytest.mark.parametrize("num_vars", [2, 3, 5, 9])
 def test_vanilla_plonk(num_vars):
     run_plonkish_backend(
         num_vars,
@@ -43,7 +43,7 @@ def test_vanilla_plonk(num_vars):
     )
 
 
-@pytest.mark.parametrize("num_vars", [2, 3, 5])
+@pytest.mark.parametrize("num_vars", [2, 3, 5, 9])
 def test_vanilla_plonk_with_lookup(num_vars):
     run_plonkish_backend(
         num_vars,
@@ -51,6 +51,25 @@ def test_vanilla_plonk_with_lookup(num_vars):
             SPEC, nv, random.Random(3), random.Random(4)
         ),
     )
+
+
+@pytest.mark.parametrize("num_vars", [12, 14])
+def test_vanilla_plonk_with_lookup_large_kzg(num_vars):
+    """Large-k coverage past the chunking/fold thresholds (the reference
+    harness runs k=2..16, backend/hyperplonk.rs:398-426; KZG here because
+    Brakedown's verifier hashing dominates at these sizes)."""
+    from plonkish_tpu.pcs.kzg import MultilinearKzg
+
+    circuit_info, circuit = rand_vanilla_plonk_with_lookup_circuit(
+        SPEC, num_vars, random.Random(7), random.Random(8)
+    )
+    backend = HyperPlonk(MultilinearKzg())
+    param = backend.setup(circuit_info, random.Random(0))
+    pp, vp = backend.preprocess(param, circuit_info)
+    transcript = Keccak256Transcript(SPEC)
+    backend.prove(pp, circuit, transcript)
+    reader = Keccak256Transcript.from_proof(SPEC, transcript.into_proof())
+    backend.verify(vp, circuit.instances(), reader)
 
 
 def test_corrupted_proof_rejected():

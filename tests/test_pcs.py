@@ -82,14 +82,14 @@ def run_batch_commit_open_verify(pcs, num_vars, batch_size=4):
     pcs.batch_verify(vp, comms, points, read_evals, r)
 
 
-@pytest.mark.parametrize("num_vars", [3, 5])
+@pytest.mark.parametrize("num_vars", [3, 5, 10])
 def test_brakedown_commit_open_verify(num_vars):
     run_commit_open_verify(
         MultilinearBrakedown(SPEC, BRAKEDOWN_SPEC_TEST), num_vars
     )
 
 
-@pytest.mark.parametrize("num_vars", [3, 5])
+@pytest.mark.parametrize("num_vars", [3, 5, 12])
 def test_kzg_commit_open_verify(num_vars):
     run_commit_open_verify(MultilinearKzg(), num_vars)
 
@@ -183,7 +183,7 @@ def test_univariate_kzg_batch():
     pcs.batch_verify(vp, comms, points, evals, r)
 
 
-@pytest.mark.parametrize("num_vars", [2, 3, 4])
+@pytest.mark.parametrize("num_vars", [2, 3, 4, 10])
 def test_gemini_commit_open_verify(num_vars):
     from plonkish_tpu.pcs.gemini import Gemini
 
@@ -196,7 +196,7 @@ def test_gemini_batch():
     run_batch_commit_open_verify(Gemini(), 3)
 
 
-@pytest.mark.parametrize("num_vars", [2, 3, 4])
+@pytest.mark.parametrize("num_vars", [2, 3, 4, 10])
 def test_zeromorph_commit_open_verify(num_vars):
     from plonkish_tpu.pcs.zeromorph import Zeromorph
 
@@ -209,7 +209,7 @@ def test_zeromorph_batch():
     run_batch_commit_open_verify(Zeromorph(), 3)
 
 
-@pytest.mark.parametrize("num_vars", [2, 4])
+@pytest.mark.parametrize("num_vars", [2, 4, 10])
 def test_ipa_commit_open_verify(num_vars):
     from plonkish_tpu.pcs.ipa import MultilinearIpa
 
@@ -222,7 +222,7 @@ def test_ipa_batch():
     run_batch_commit_open_verify(MultilinearIpa(), 3)
 
 
-@pytest.mark.parametrize("num_vars", [5, 6])
+@pytest.mark.parametrize("num_vars", [5, 6, 10])
 def test_hyrax_commit_open_verify(num_vars):
     from plonkish_tpu.pcs.hyrax import MultilinearHyrax
 
