@@ -359,6 +359,109 @@ def _jmadd_soa(curve: CurveSpec, p, x2, y2, inf2):
     return (x3, y3, z3)
 
 
+def _jadd_soa(curve: CurveSpec, p, q):
+    """Branchless full Jacobian addition over struct-of-arrays digit lists
+    (add-2007-bl; the SoA twin of `_jadd_wide`).  p, q: (x, y, z) tuples of
+    L-digit lists.  Pure elementwise ops, so XLA fuses the whole ~500-op
+    formula into a handful of memory passes — used for the MSM bucket
+    reduction, where the tensor-form `_jadd_wide` runs ~40x slower
+    (pad/concat ops break fusion; docs/PERF_NOTES.md)."""
+    from ..fields import soa
+
+    spec = curve.base
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    mul = lambda a, b: soa.mont_mul(spec, a, b)
+    add = lambda a, b: soa.add(spec, a, b)
+    sub = lambda a, b: soa.sub(spec, a, b)
+
+    z1z1 = mul(z1, z1)
+    z2z2 = mul(z2, z2)
+    u1 = mul(x1, z2z2)
+    u2 = mul(x2, z1z1)
+    s1 = mul(y1, mul(z2, z2z2))
+    s2 = mul(y2, mul(z1, z1z1))
+    h = sub(u2, u1)
+    h2 = add(h, h)
+    i = mul(h2, h2)
+    j = mul(h, i)
+    r = sub(s2, s1)
+    r = add(r, r)
+    v = mul(u1, i)
+    x3 = sub(sub(mul(r, r), j), add(v, v))
+    sj = mul(s1, j)
+    y3 = sub(mul(r, sub(v, x3)), add(sj, sj))
+    zz = add(z1, z2)
+    z3 = mul(sub(sub(mul(zz, zz), z1z1), z2z2), h)
+
+    p1_inf = soa.is_zero(z1)
+    p2_inf = soa.is_zero(z2)
+    h_zero = soa.is_zero(h)
+    r_zero = soa.is_zero(r)
+    both = jnp.logical_not(jnp.logical_or(p1_inf, p2_inf))
+    dbl = jnp.logical_and(both, jnp.logical_and(h_zero, r_zero))
+    opposite = jnp.logical_and(
+        both, jnp.logical_and(h_zero, jnp.logical_not(r_zero))
+    )
+    dx, dy, dz = _jdbl_soa(curve, p)
+    zero = soa.zeros_like(x1)
+
+    def out(v3, dv, qv, pv):
+        o = soa.select(opposite, zero, v3)
+        o = soa.select(dbl, dv, o)
+        o = soa.select(p1_inf, qv, o)
+        return soa.select(p2_inf, pv, o)
+
+    return (out(x3, dx, x2, x1), out(y3, dy, y2, y1), out(z3, dz, z2, z1))
+
+
+def _jmadd_soa_incomplete(curve: CurveSpec, p, x2, y2, inf2):
+    """Jacobian += affine WITHOUT the doubling/opposite/accumulator-infinity
+    branches (madd-2007-bl, 8M+3S) — ~40% fewer Montgomery muls than the
+    complete `_jmadd_soa`, whose unconditional doubling fallback dominates
+    the MSM bucket kernel's per-step cost.
+
+    Valid only when the accumulator can never equal ±the incoming point and
+    is never the identity: the Pallas MSM guarantees this by initializing
+    every bucket to a fresh random blind point R (subtracted exactly at the
+    end), so a collision requires guessing a partial sum offset by R —
+    probability ~2^-254 per add, and a miss only yields an invalid proof,
+    never an unsound one.  `inf2` (padding / zero-digit points) is still
+    handled: the accumulator passes through unchanged."""
+    from ..fields import soa
+
+    spec = curve.base
+    x1, y1, z1 = p
+    z1z1 = soa.mont_mul(spec, z1, z1)
+    u2 = soa.mont_mul(spec, x2, z1z1)
+    s2 = soa.mont_mul(spec, y2, soa.mont_mul(spec, z1, z1z1))
+    h = soa.sub(spec, u2, x1)
+    hh = soa.mont_mul(spec, h, h)
+    i4 = soa.add(spec, hh, hh)
+    i4 = soa.add(spec, i4, i4)
+    j = soa.mont_mul(spec, h, i4)
+    r = soa.sub(spec, s2, y1)
+    r = soa.add(spec, r, r)
+    v = soa.mont_mul(spec, x1, i4)
+    x3 = soa.sub(
+        spec, soa.sub(spec, soa.mont_mul(spec, r, r), j),
+        soa.add(spec, v, v),
+    )
+    yj = soa.mont_mul(spec, y1, j)
+    y3 = soa.sub(
+        spec, soa.mont_mul(spec, r, soa.sub(spec, v, x3)),
+        soa.add(spec, yj, yj),
+    )
+    zh = soa.add(spec, z1, h)
+    z3 = soa.sub(
+        spec, soa.sub(spec, soa.mont_mul(spec, zh, zh), z1z1), hh
+    )
+    x3 = soa.select(inf2, x1, x3)
+    y3 = soa.select(inf2, y1, y3)
+    z3 = soa.select(inf2, z1, z3)
+    return (x3, y3, z3)
+
+
 def jacobian_to_affine_host(curve: CurveSpec, points: jnp.ndarray):
     """Host conversion of Jacobian [N, 3, L] Montgomery tensors to
     AffinePoints (x/z², y/z³)."""

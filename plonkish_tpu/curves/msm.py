@@ -159,6 +159,35 @@ def _msm_windows_narrow_jit(curve, inputs, c, num_windows, num_chunks):
     return _bucket_reduce_narrow(curve, buckets)
 
 
+_BLIND_CACHE: dict = {}
+
+
+def _blind_point(curve: CurveSpec):
+    """Per-process random blind point for the Pallas bucket kernel: buckets
+    start at R instead of the identity so the inner loop can use the
+    doubling-free incomplete addition (device.py:_jmadd_soa_incomplete).
+    Returns (R as AffinePoint, its Montgomery affine digits [2, L])."""
+    key = curve.name
+    if key not in _BLIND_CACHE:
+        import secrets
+
+        import numpy as np
+
+        from ..fields.spec import int_to_digits
+
+        r = secrets.randbelow(curve.scalar.p - 2) + 2
+        pt = AffinePoint.generator(curve).scalar_mul(r)
+        spec = curve.base
+        digs = np.stack(
+            [
+                int_to_digits(spec.to_mont(int(pt.x))),
+                int_to_digits(spec.to_mont(int(pt.y))),
+            ]
+        ).astype(np.uint32)
+        _BLIND_CACHE[key] = (pt, jnp.asarray(digs))
+    return _BLIND_CACHE[key]
+
+
 def _signed_window_digits(scalars, c: int, num_windows: int):
     """[N, 16] canonical digits -> (idx [W, N] in [0, 2^(c-1)],
     sign [W, N] bool): signed-digit recoding d' ∈ [−2^(c−1), 2^(c−1)] with
@@ -498,17 +527,48 @@ def variable_base_msm(
     if kernel == "auto":
         from .. import pallas as _pallas
 
-        kernel = "pallas" if _pallas.is_available() else "narrow"
+        if n <= int(
+            _os.environ.get("PLONKISH_TPU_MSM_HOST_MAX", 1 << 11)
+        ):
+            # Small MSMs run the native host Pippenger: the device kernels
+            # pay a per-shape XLA compile (minutes on the CPU backend) and
+            # a dispatch round-trip that dwarf the actual work below ~2^11
+            # points.  Bit-exact — same math, different executor.
+            kernel = "host"
+        else:
+            kernel = "pallas" if _pallas.is_available() else "narrow"
     c = window_size(n)
+    if kernel == "host":
+        import numpy as _np
+
+        from ..ops import field_cpp as _cpp
+
+        out = _cpp.ec_msm(
+            curve,
+            _np.asarray(scalars, dtype=_np.uint32),
+            _np.asarray(points, dtype=_np.uint32).reshape(n, 3, limb.L),
+        )
+        return to_affine_host(curve, out[None])[0]
     if kernel == "pallas":
         from ..pallas.msm import _msm_windows_pallas_jit
         from .device import jacobian_to_affine_host
 
         num_windows = -(-curve.scalar.num_bits // c) + 1
+        sublanes = int(_os.environ.get("PLONKISH_TPU_MSM_SUBLANES", 8))
+        blind, blind_digits = _blind_point(curve)
         windows = _msm_windows_pallas_jit(
-            curve, (scalars, points.reshape(n, 3, limb.L)), c, num_windows, 8
+            curve,
+            (scalars, points.reshape(n, 3, limb.L), blind_digits),
+            c, num_windows, sublanes,
         )
         window_points = jacobian_to_affine_host(curve, windows)
+        # every bucket in every window started at the blind R; the weighted
+        # reduction turns that into (B(B-1)/2)·C·R per window — subtract it
+        b = (1 << (c - 1)) + 1
+        lanes = sublanes * 128
+        factor = ((b - 1) * b // 2 * lanes) % curve.scalar.p
+        correction = -blind.scalar_mul(factor)
+        window_points = [wp + correction for wp in window_points]
     elif kernel == "narrow":
         num_windows = -(-curve.scalar.num_bits // c)
         if num_chunks is None:
@@ -580,6 +640,33 @@ def fixed_base_msm(
         scalars = limb.from_ints([int(s) for s in scalars])
     n = scalars.shape[0]
     num_windows = -(-curve.scalar.num_bits // c)
+    if not limb.IS_CPP:
+        import os as _os
+
+        if n <= int(_os.environ.get("PLONKISH_TPU_MSM_HOST_MAX", 1 << 11)):
+            # small batches: window-table walk on host (the XLA gather+padd
+            # tree costs a per-shape compile that dwarfs the work — the SRS
+            # setup at test sizes was minutes of compile for ms of math)
+            import numpy as _np
+
+            digits_np = _window_digits(
+                _np.asarray(scalars, dtype=_np.uint32), c, num_windows
+            )
+            steps = [base.scalar_mul(1 << (c * w)) for w in range(num_windows)]
+            tables = []
+            for w in range(num_windows):
+                row = [AffinePoint.identity(curve)]
+                for _ in range((1 << c) - 1):
+                    row.append(row[-1] + steps[w])
+                tables.append(row)
+            out = [
+                sum(
+                    (tables[w][int(digits_np[w, i])] for w in range(num_windows)),
+                    AffinePoint.identity(curve),
+                )
+                for i in range(n)
+            ]
+            return from_affine_host(curve, out)
     # table[w][d] = base * (d << (c*w)), host-computed
     table_points: List[AffinePoint] = []
     for w in range(num_windows):

@@ -39,10 +39,15 @@ L = limb.L
 
 
 def _bucket_kernel(curve, B, T, xs_ref, ys_ref, inf_ref, idx_ref, sgn_ref,
-                   out_ref):
+                   blind_ref, out_ref):
     """Grid (W, T).  out block [1, 3, L, B, S, LANE] = this window's bucket
-    state, accumulated across the T point blocks."""
-    from ..curves.device import _jmadd_soa
+    state, accumulated across the T point blocks.
+
+    Buckets start at the blind point R (affine, blind_ref [2, L] SMEM), so
+    the inner loop can use the doubling-free incomplete mixed addition —
+    the caller subtracts the exactly-known blind multiple from each window
+    sum (curves/msm.py)."""
+    from ..curves.device import _jmadd_soa_incomplete
 
     spec = curve.base
     t = pl.program_id(1)
@@ -51,9 +56,9 @@ def _bucket_kernel(curve, B, T, xs_ref, ys_ref, inf_ref, idx_ref, sgn_ref,
     def _init():
         zero = jnp.zeros(out_ref.shape[3:], dtype=jnp.uint32)
         for d in range(L):
-            out_ref[0, 0, d] = zero
-            out_ref[0, 1, d] = zero + np.uint32(spec.r_digits[d])  # Mont 1
-            out_ref[0, 2, d] = zero
+            out_ref[0, 0, d] = zero + blind_ref[0, d]
+            out_ref[0, 1, d] = zero + blind_ref[1, d]
+            out_ref[0, 2, d] = zero + np.uint32(spec.r_digits[d])  # Mont 1
 
     x2 = [xs_ref[d] for d in range(L)]  # each [S, LANE]
     y2 = [ys_ref[d] for d in range(L)]
@@ -63,24 +68,84 @@ def _bucket_kernel(curve, B, T, xs_ref, ys_ref, inf_ref, idx_ref, sgn_ref,
 
     y2 = soa.select(sg, soa.neg(spec, y2), y2)
 
-    v = out_ref[0]  # [3, L, B, S, LANE]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (B,) + ix.shape, 0)
-    mask = iota == ix[None]  # [B, S, LANE]
+    # Per-bucket-row loads/stores: materializing the whole [3, L, B, S,
+    # LANE] block (out_ref[0]) costs 3*L*B vregs of register pressure and
+    # spills dominate the step (measured 134us/step vs ~10us of math).
+    mask = [None] * B
+    for b in range(B):
+        mask[b] = ix == b
 
     def gather(c):
         digs = []
         for d in range(L):
-            acc = jnp.zeros_like(v[c, d, 0])
+            acc = jnp.zeros(ix.shape, jnp.uint32)
             for b in range(B):
-                acc = jnp.where(mask[b], v[c, d, b], acc)
+                acc = jnp.where(mask[b], out_ref[0, c, d, b], acc)
             digs.append(acc)
         return digs
 
     cur = (gather(0), gather(1), gather(2))
-    nx, ny, nz = _jmadd_soa(curve, cur, x2, y2, inf2)
+    nx, ny, nz = _jmadd_soa_incomplete(curve, cur, x2, y2, inf2)
     for c, nd in ((0, nx), (1, ny), (2, nz)):
         for d in range(L):
-            out_ref[0, c, d] = jnp.where(mask, nd[d][None], v[c, d])
+            for b in range(B):
+                out_ref[0, c, d, b] = jnp.where(
+                    mask[b], nd[d], out_ref[0, c, d, b]
+                )
+
+
+def _reduce_kernel(curve, B, in_ref, out_ref):
+    """Grid (W,): one window's [1, 3, L, B, S, LANE] bucket block ->
+    weighted bucket sum folded across all S*LANE lanes; result in lane
+    (0, 0) of the [1, 3, L, S, LANE] out block.
+
+    Weighted reduction is the running-sum trick (msm.rs:166-179) as a
+    fori_loop of two full Jacobian adds per bucket at (S, LANE) width;
+    the lane fold is a roll-and-add halving tree (lanes >= half hold
+    garbage, never read by later levels).  Keeping this in Mosaic avoids
+    the XLA tensor-form postlude, which cost ~600ms runtime (fusion
+    breaks) or unbounded compile (SoA op-count blowup)."""
+    from ..curves.device import _jadd_soa
+
+    spec = curve.base
+    shape = in_ref.shape[-2:]
+    zero = jnp.zeros(shape, jnp.uint32)
+    ident = (
+        [zero] * L,
+        [zero + np.uint32(spec.r_digits[d]) for d in range(L)],
+        [zero] * L,
+    )
+
+    def bucket_body(i, carry):
+        running, acc = carry
+        j = B - 1 - i
+        bj = tuple(
+            [in_ref[0, ci, d, j] for d in range(L)] for ci in range(3)
+        )
+        running = _jadd_soa(curve, running, bj)
+        acc = _jadd_soa(curve, acc, running)
+        return (running, acc)
+
+    _, acc = jax.lax.fori_loop(0, B - 1, bucket_body, (ident, ident))
+
+    for axis, shifts in ((0, (4, 2, 1)), (1, (64, 32, 16, 8, 4, 2, 1))):
+        if axis == 0 and shape[0] != 8:
+            shifts = tuple(
+                s for s in (shape[0] >> (i + 1) for i in range(16)) if s
+            )
+        for sh in shifts:
+            # lane i reads lane i+sh: pltpu.roll requires a non-negative
+            # shift, so roll by (size - sh) (equal mod the axis size)
+            size_ax = shape[axis]
+            rolled = tuple(
+                [pltpu.roll(d, size_ax - sh, axis=axis) for d in ci]
+                for ci in acc
+            )
+            acc = _jadd_soa(curve, acc, rolled)
+
+    for ci in range(3):
+        for d in range(L):
+            out_ref[0, ci, d] = acc[ci][d]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
@@ -89,12 +154,12 @@ def _msm_windows_pallas_jit(curve, inputs, c, num_windows, sublanes):
 
     ONE device program: signed digit decomposition, affine normalization,
     the Pallas bucket grid, and the XLA chunk-fold + weighted bucket
-    reduction.  Returns Jacobian window sums [W, 3, L]."""
+    reduction.  Returns Jacobian window sums [W, 3, L], each offset by the
+    blind multiple (B(B-1)/2)·C·R that the caller subtracts on host."""
     from ..curves.msm import _signed_window_digits
-    from ..curves.msm import _fold_and_reduce_wide
 
     spec = curve.base
-    scalars, points = inputs
+    scalars, points, blind = inputs
     n = points.shape[0]
     w = num_windows
     b = (1 << (c - 1)) + 1
@@ -140,6 +205,7 @@ def _msm_windows_pallas_jit(curve, inputs, c, num_windows, sublanes):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, LANE), lambda wi, ti: (wi, ti, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 3, L, b, s, LANE), lambda wi, ti: (wi, 0, 0, 0, 0, 0),
@@ -147,10 +213,22 @@ def _msm_windows_pallas_jit(curve, inputs, c, num_windows, sublanes):
         ),
         out_shape=jax.ShapeDtypeStruct((w, 3, L, b, s, LANE), jnp.uint32),
         interpret=interpret_mode(),
-    )(xs, ys, inf_t, idx_t, sgn_t)
+    )(xs, ys, inf_t, idx_t, sgn_t, blind)
 
-    # [W, 3, L, B, S, LANE] -> [3, L, W, B, C]; fold C + weighted reduce.
-    wide = jnp.transpose(buckets, (1, 2, 0, 3, 4, 5)).reshape(
-        3, L, w, b, tile
-    )
-    return _fold_and_reduce_wide(curve, wide)
+    window_sums = pl.pallas_call(
+        functools.partial(_reduce_kernel, curve, b),
+        grid=(w,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, L, b, s, LANE), lambda wi: (wi, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, L, s, LANE), lambda wi: (wi, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((w, 3, L, s, LANE), jnp.uint32),
+        interpret=interpret_mode(),
+    )(buckets)
+    return window_sums[:, :, :, 0, 0]  # [W, 3, L]

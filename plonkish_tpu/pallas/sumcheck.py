@@ -89,28 +89,28 @@ def _round_kernel(spec, expr, keys, num_blocks, use_identity,
     def _reset():
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    lo = lo_ref[:]  # [T, L, S, LANE]
-    hi = hi_ref[:]
-
     def at_t(base, step):
         return jax.lax.fori_loop(
             0, t_idx, lambda _, cu: soa.add(spec, cu, step), base
         )
 
+    # per-(table, digit) lazy loads: materializing the whole [T, L, S,
+    # LANE] blocks up front costs T*L vregs of register pressure per block
+    # and the resulting spills dominate the step
     leaves = {}
     for ki, key in enumerate(keys):
-        h = [hi[ki, d] for d in range(L)]
-        l_ = [lo[ki, d] for d in range(L)]
+        h = [hi_ref[ki, d] for d in range(L)]
+        l_ = [lo_ref[ki, d] for d in range(L)]
         leaves[key] = at_t(h, soa.sub(spec, h, l_))
 
     if use_identity:
         # identity value at (t, b) = off + (t-1)*2^round + b*2^(round+1)
         # with off = mont(offset + 2^round); C = 2^(round+1)*R^2 folds the
         # scaling into one Montgomery multiply of b's raw digits.
-        shape = (lo.shape[2], LANE)
+        shape = (lo_ref.shape[2], LANE)
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        b = bi * (lo.shape[2] * LANE) + row * LANE + col
+        b = bi * (lo_ref.shape[2] * LANE) + row * LANE + col
         bd = [
             (b & 0xFFFF).astype(jnp.uint32),
             (b >> 16).astype(jnp.uint32),

@@ -129,51 +129,97 @@ def check_sumcheck(size=1 << 13):
     print("sumcheck fold_tables: MATCH")
 
 
-def check_msm(n=1 << 12):
-    from plonkish_tpu.curves.device import from_affine_host, jacobian_to_affine_host
+_MSM_CACHE = {}
+
+
+def _msm_inputs(n):
+    if n not in _MSM_CACHE:
+        from plonkish_tpu.curves.device import from_affine_host
+        from plonkish_tpu.curves.host import AffinePoint
+        from plonkish_tpu.curves.specs import BN254_G1
+
+        curve = BN254_G1
+        scalars_int = [RNG.randrange(curve.scalar.p) for _ in range(n)]
+        g = AffinePoint.generator(curve)
+        base = [g.scalar_mul(RNG.randrange(1, 1 << 62)) for _ in range(256)]
+        pts = (base * (n // 256 + 1))[:n]
+        pts[3] = AffinePoint.identity(curve)
+        dev = from_affine_host(curve, pts)
+        scal = limb.from_ints(scalars_int)
+        _MSM_CACHE[n] = (scalars_int, pts, dev, scal)
+    return _MSM_CACHE[n]
+
+
+def check_msm(n=1 << 12, c=None, sublanes=None, verify=True):
+    from plonkish_tpu.curves.device import jacobian_to_affine_host
     from plonkish_tpu.curves.host import AffinePoint, msm_host
+    from plonkish_tpu.curves.msm import _blind_point, window_size
     from plonkish_tpu.curves.specs import BN254_G1
-    from plonkish_tpu.curves.msm import window_size
     from plonkish_tpu.pallas.msm import _msm_windows_pallas_jit
 
     curve = BN254_G1
-    c = window_size(n)
+    c = c or window_size(n)
+    s = sublanes or 8
     w = -(-curve.scalar.num_bits // c) + 1
-    scalars_int = [RNG.randrange(curve.scalar.p) for _ in range(n)]
-    g = AffinePoint.generator(curve)
-    pts = [g.scalar_mul(RNG.randrange(1, 1 << 62)) for _ in range(n)]
-    pts[3] = AffinePoint.identity(curve)
-    dev = from_affine_host(curve, pts)
-    scal = limb.from_ints(scalars_int)
+    scalars_int, pts, dev, scal = _msm_inputs(n)
+    blind, blind_digits = _blind_point(curve)
+    args = (
+        jnp.asarray(np.asarray(scal)),
+        jnp.asarray(np.asarray(dev)),
+        blind_digits,
+    )
 
     t0 = time.time()
-    windows = _msm_windows_pallas_jit(
-        curve,
-        (jnp.asarray(np.asarray(scal)), jnp.asarray(np.asarray(dev))),
-        c, w, 8,
-    )
+    windows = _msm_windows_pallas_jit(curve, args, c, w, s)
     jax.block_until_ready(windows)
-    print(f"msm 2^{n.bit_length() - 1} cold: {time.time() - t0:.1f}s (c={c}, w={w})")
+    cold = time.time() - t0
     t0 = time.time()
-    jax.block_until_ready(
-        _msm_windows_pallas_jit(
-            curve,
-            (jnp.asarray(np.asarray(scal)), jnp.asarray(np.asarray(dev))),
-            c, w, 8,
-        )
-    )
+    jax.block_until_ready(_msm_windows_pallas_jit(curve, args, c, w, s))
     dt = time.time() - t0
-    print(f"msm warm: {dt:.3f}s ({n / dt / 1e3:.1f}K pts/s)")
+    print(
+        f"msm 2^{n.bit_length() - 1} c={c} s={s} w={w}: cold {cold:.1f}s "
+        f"warm {dt * 1e3:.1f}ms ({n / dt / 1e3:.1f}K pts/s)",
+        flush=True,
+    )
+    if not verify:
+        return n / dt
 
     window_points = jacobian_to_affine_host(curve, windows)
+    b = (1 << (c - 1)) + 1
+    correction = -blind.scalar_mul((b - 1) * b // 2 * s * 128)
     acc = AffinePoint.identity(curve)
     for wp in reversed(window_points):
         for _ in range(c):
             acc = acc.double()
-        acc = acc + wp
-    expect = msm_host([Fp(s, curve.scalar) for s in scalars_int], pts)
+        acc = acc + wp + correction
+    expect = msm_host([Fp(s_, curve.scalar) for s_ in scalars_int], pts)
     assert acc == expect, "msm MISMATCH"
     print("msm bucket kernel: MATCH")
+    return n / dt
+
+
+def sweep_msm():
+    """Grid-search (c, sublanes) for the Pallas bucket kernel; VMEM bounds
+    the product B*S (out block = 3*L*B*S*128*4 bytes)."""
+    # Mosaic requires the input block sublane dim divisible by 8; VMEM
+    # caps the bucket block 3*L*B*S*128*4 at ~10MB
+    best = (0, None)
+    for n_log2 in (16, 18):
+        for c, s in [(4, 8), (5, 8), (6, 8), (4, 16), (5, 16), (4, 32)]:
+            b = (1 << (c - 1)) + 1
+            if 3 * 16 * b * s * 128 * 4 > 10 * 2**20:
+                continue
+            try:
+                pps = check_msm(1 << n_log2, c=c, sublanes=s, verify=False)
+            except Exception as e:  # noqa: BLE001 — report, keep sweeping
+                print(
+                    f"n=2^{n_log2} c={c} s={s}: FAILED "
+                    f"{type(e).__name__}: {e}"
+                )
+                continue
+            if n_log2 == 18 and pps > best[0]:
+                best = (pps, (c, s))
+    print(f"BEST at 2^18: {best[1]} at {best[0] / 1e3:.1f}K pts/s")
 
 
 if __name__ == "__main__":
@@ -183,4 +229,6 @@ if __name__ == "__main__":
         check_sumcheck()
     if which in ("all", "msm"):
         check_msm()
+    if which == "sweep":
+        sweep_msm()
     print("OK")

@@ -148,6 +148,7 @@ def test_pallas_msm_bucket_kernel():
         jacobian_to_affine_host,
     )
     from plonkish_tpu.curves.host import AffinePoint, msm_host
+    from plonkish_tpu.curves.msm import _blind_point
     from plonkish_tpu.curves.specs import BN254_G1
     from plonkish_tpu.pallas.msm import _msm_windows_pallas_jit
 
@@ -160,15 +161,23 @@ def test_pallas_msm_bucket_kernel():
     dev = from_affine_host(curve, pts)
     scal = limb.from_ints(scalars_int)
 
+    blind, blind_digits = _blind_point(curve)
     windows = _msm_windows_pallas_jit(
-        curve, (jnp.asarray(np.asarray(scal)), jnp.asarray(np.asarray(dev))),
+        curve,
+        (
+            jnp.asarray(np.asarray(scal)),
+            jnp.asarray(np.asarray(dev)),
+            blind_digits,
+        ),
         c, w, 8,
     )
     window_points = jacobian_to_affine_host(curve, windows)
+    b = (1 << (c - 1)) + 1
+    correction = -blind.scalar_mul((b - 1) * b // 2 * 8 * 128)
     acc = AffinePoint.identity(curve)
     for wp in reversed(window_points):
         for _ in range(c):
             acc = acc.double()
-        acc = acc + wp
+        acc = acc + wp + correction
     expect = msm_host([Fp(s, curve.scalar) for s in scalars_int], pts)
     assert acc == expect
