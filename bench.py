@@ -121,10 +121,15 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/plonkish_tpu_jax_cache")
+    backend = jax.default_backend()
+    cache = (
+        "/tmp/plonkish_tpu_jax_cache_tpu"
+        if backend == "tpu"
+        else "/tmp/plonkish_tpu_jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    backend = jax.default_backend()
 
     if not args.fieldmul_only:
         try:
