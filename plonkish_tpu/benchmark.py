@@ -69,6 +69,19 @@ def main(argv=None) -> None:
     os.environ.setdefault("PLONKISH_TPU_BACKEND", args.backend)
     if args.backend == "cpp":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    else:
+        # persistent compile cache: Mosaic/XLA cold compiles at bench sizes
+        # are minutes each, paid once per (kernel, size)
+        import jax
+
+        cache = (
+            "/tmp/plonkish_tpu_jax_cache_tpu"
+            if jax.default_backend() == "tpu"
+            else "/tmp/plonkish_tpu_jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from plonkish_tpu.backend.hyperplonk import HyperPlonk
     from plonkish_tpu.models.circuits import (

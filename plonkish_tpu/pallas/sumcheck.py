@@ -38,10 +38,17 @@ from ..fields.spec import FieldSpec, int_to_digits
 
 L = limb.L
 
-# Minimum pair count routed to the Pallas kernels; below this the existing
-# fused XLA round program is used (it compiles fine at small sizes and
-# avoids per-round Mosaic compiles for the cheap tail rounds).
-PALLAS_MIN_SIZE = 1 << 13
+# Minimum pair count routed to the Pallas kernels; below this the tape-scan
+# XLA round program is used (it compiles in seconds and the tail rounds are
+# HBM-cheap anyway).  Each distinct size that reaches Pallas costs one
+# Mosaic compile (~minutes cold, persistently cached), so the threshold
+# trades cold-start against peak round throughput; override with
+# PLONKISH_TPU_SUMCHECK_PALLAS_MIN (0 disables the Pallas path).
+import os as _os
+
+PALLAS_MIN_SIZE = int(
+    _os.environ.get("PLONKISH_TPU_SUMCHECK_PALLAS_MIN", 1 << 13)
+)
 
 
 def _eval_expression_soa(spec: FieldSpec, expr, leaves: Dict):
@@ -232,7 +239,8 @@ def usable(size: int) -> bool:
     from ..parallel import get_mesh
 
     return (
-        size >= PALLAS_MIN_SIZE
+        PALLAS_MIN_SIZE > 0
+        and size >= PALLAS_MIN_SIZE
         and size % LANE == 0
         and get_mesh() is None
         and is_available()
