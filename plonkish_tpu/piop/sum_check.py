@@ -373,8 +373,12 @@ def _tape_round_jax(
     out = out.reshape(degree, size, l_)
     out = jnp.where((mask > 0)[None, :, None], out, jnp.uint32(0))
     # one reduction over the whole [size, degree, L] block (a sum_reduce is
-    # its own ~8s XLA CPU compile; d of them dominated the round's cold cost)
-    return limb._sum_reduce_jax(spec, jnp.transpose(out, (1, 0, 2)))
+    # its own ~8s XLA CPU compile; d of them dominated the round's cold
+    # cost); from-Montgomery conversion fused in (a separate eager call is
+    # one more network round-trip on the tunneled TPU)
+    totals = limb._sum_reduce_jax(spec, jnp.transpose(out, (1, 0, 2)))
+    one_ = jnp.zeros((limb.L,), jnp.uint32).at[0].set(1)
+    return limb._mont_mul_jax(spec, totals, one_)
 
 
 def _eq_xy_table(spec, y):
@@ -514,8 +518,8 @@ class EvaluationsProver:
         totals = _tape_round_jax(
             spec, t, d, use_identity, stacked, t.const_rows(spec),
             id_mul, id_off, id_step, jnp.asarray(mask),
-        )  # [d, L] Montgomery
-        vals = limb.to_ints(limb.from_mont(spec, totals))
+        )  # [d, L] canonical
+        vals = limb.to_ints(totals)
         evals = [Fp.zero(spec)] * (d + 1)
         for t_ in range(1, d + 1):
             evals[t_] = Fp(int(vals[t_ - 1]), spec)
@@ -684,13 +688,9 @@ class CoefficientsProver:
             "CoefficientsProver supports degree-2 eq_xy * poly expressions"
         )
 
-    def prove_round(self, state: ProverState) -> Coefficients:
-        spec = state.spec
+    def _term_tables(self, state):
         size = state.size
-        c0 = Fp(size, spec) * self.constant
-        c2 = Fp.zero(spec)
-        acc0 = None
-        acc2 = None
+        eqs, ps, scalars = [], [], []
         for scalar, prods in self.flattened:
             lhs, rhs = prods
             # identify the eq_xy and the poly (either order; coeff.rs:157-167)
@@ -701,26 +701,94 @@ class CoefficientsProver:
                 eq_idx = rhs.poly.idx
                 query = lhs.query
             assert query.rotation.value == 0
-            eq_tbl = state.eq_xys[eq_idx].reshape(size, 2, -1)
-            p_tbl = state.polys[(query.poly, 0)].reshape(size, 2, -1)
-            s = limb.const(spec, int(scalar))
-            lo = limb.mont_mul(spec, eq_tbl[:, 0], p_tbl[:, 0])
-            diff = limb.mont_mul(
-                spec,
-                limb.sub(spec, eq_tbl[:, 1], eq_tbl[:, 0]),
-                limb.sub(spec, p_tbl[:, 1], p_tbl[:, 0]),
+            eqs.append(state.eq_xys[eq_idx])
+            ps.append(state.polys[(query.poly, 0)])
+            scalars.append(int(scalar))
+        return eqs, ps, scalars
+
+    def prove_round(self, state: ProverState) -> Coefficients:
+        spec = state.spec
+        size = state.size
+        c0 = Fp(size, spec) * self.constant
+        c2 = Fp.zero(spec)
+        eqs, ps, scalars = self._term_tables(state)
+        if eqs and not limb.IS_CPP:
+            # one fused program per round: on the tunneled TPU every eager
+            # op costs a network RTT, and the deg-2 batch-open sum-check
+            # runs ~10 of them per round per term otherwise; small rounds
+            # pad to a shared shape (same trick as _tape_round_jax)
+            from ..fields.spec import int_to_digits
+
+            psize = max(size, _TAPE_PAD_SIZE)
+            eq_s = jnp.stack(eqs, axis=0)
+            p_s = jnp.stack(ps, axis=0)
+            if size < psize:
+                padrows = 2 * (psize - size)
+                eq_s = jnp.pad(eq_s, ((0, 0), (0, padrows), (0, 0)))
+                p_s = jnp.pad(p_s, ((0, 0), (0, padrows), (0, 0)))
+            mask = np.zeros(psize, np.uint32)
+            mask[:size] = 1
+            sc = jnp.asarray(
+                np.stack(
+                    [int_to_digits(spec.to_mont(s)) for s in scalars]
+                )
             )
-            term0 = limb.mont_mul(spec, limb.sum_reduce(spec, lo), s)
-            term2 = limb.mont_mul(spec, limb.sum_reduce(spec, diff), s)
-            acc0 = term0 if acc0 is None else limb.add(spec, acc0, term0)
-            acc2 = term2 if acc2 is None else limb.add(spec, acc2, term2)
-        if acc0 is not None:
+            v0, v2 = limb.to_ints(
+                _coeff_round_jax(spec, eq_s, p_s, sc, jnp.asarray(mask))
+            )
+            c0 = c0 + Fp(int(v0), spec)
+            c2 = c2 + Fp(int(v2), spec)
+        elif eqs:
+            acc0 = None
+            acc2 = None
+            for eq_t, p_t, scalar in zip(eqs, ps, scalars):
+                eq_tbl = eq_t.reshape(size, 2, -1)
+                p_tbl = p_t.reshape(size, 2, -1)
+                s = limb.const(spec, scalar)
+                lo = limb.mont_mul(spec, eq_tbl[:, 0], p_tbl[:, 0])
+                diff = limb.mont_mul(
+                    spec,
+                    limb.sub(spec, eq_tbl[:, 1], eq_tbl[:, 0]),
+                    limb.sub(spec, p_tbl[:, 1], p_tbl[:, 0]),
+                )
+                term0 = limb.mont_mul(spec, limb.sum_reduce(spec, lo), s)
+                term2 = limb.mont_mul(spec, limb.sum_reduce(spec, diff), s)
+                acc0 = term0 if acc0 is None else limb.add(spec, acc0, term0)
+                acc2 = term2 if acc2 is None else limb.add(spec, acc2, term2)
             both = limb.from_mont(spec, limb.xnp.stack([acc0, acc2]))
             v0, v2 = limb.to_ints(both)
             c0 = c0 + Fp(int(v0), spec)
             c2 = c2 + Fp(int(v2), spec)
         c1 = state.sum - c0.double() - c2
         return Coefficients([c0, c1, c2])
+
+
+@_functools.partial(_jax.jit, static_argnums=0)
+def _coeff_round_jax(spec, eq_tbls, p_tbls, scalar_digits, mask):
+    """Fused degree-2 karatsuba round (coeff.rs:133-208): [T, 2*size, L]
+    eq/poly tables + [T, L] Montgomery scalars -> [2, L] (c0, c2) totals.
+    `mask` zeroes zero-padded rows of small rounds."""
+    t, n2, l_ = eq_tbls.shape
+    size = n2 // 2
+    eq = eq_tbls.reshape(t, size, 2, l_)
+    p = p_tbls.reshape(t, size, 2, l_)
+    lo = limb._mont_mul_jax(spec, eq[:, :, 0], p[:, :, 0])
+    diff = limb._mont_mul_jax(
+        spec,
+        limb._sub_jax(spec, eq[:, :, 1], eq[:, :, 0]),
+        limb._sub_jax(spec, p[:, :, 1], p[:, :, 0]),
+    )
+    keep = (mask > 0)[None, :, None]
+    lo = jnp.where(keep, lo, jnp.uint32(0))
+    diff = jnp.where(keep, diff, jnp.uint32(0))
+    # per-term sums, scale, then total: [T, size, L] -> [T, L] -> [L]
+    sums = limb._sum_reduce_jax(
+        spec, jnp.stack([lo, diff], axis=0).transpose(2, 0, 1, 3)
+    )  # [2, T, L]
+    scaled = limb._mont_mul_jax(spec, sums, scalar_digits[None])
+    totals = limb._sum_reduce_jax(spec, scaled.transpose(1, 0, 2))  # [2, L]
+    one_ = jnp.zeros((limb.L,), jnp.uint32).at[0].set(1)
+    return limb._mont_mul_jax(spec, totals, one_)  # canonical
 
 
 # ---------------------------------------------------------------------------
