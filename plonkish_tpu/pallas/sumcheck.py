@@ -158,14 +158,16 @@ def _fold_kernel(spec, lo_ref, hi_ref, ch_ref, out_ref):
 
 
 def _split_pairs(stacked):
-    """[T, n, L] tensor-form tables -> lane-tiled lo/hi [T, L, R, LANE]
-    over the pair index (pairs are adjacent elements: fix the first
-    variable, multilinear.rs:599-618)."""
-    t, n, _ = stacked.shape
+    """Digit-major [T, L, n] state tensor -> lane-tiled lo/hi
+    [T, L, R, LANE] over the pair index (pairs are adjacent elements: fix
+    the first variable, multilinear.rs:599-618).  Every op here reshapes or
+    strides the MINOR axis only — a transpose at this rank materializes a
+    temp whose tile layout pads the 16-wide digit axis onto the 128-lane
+    tile dim (8x HBM, the k=21 OOM)."""
+    t, _, n = stacked.shape
     size = n // 2
     r = size // LANE
-    dm = jnp.transpose(stacked, (0, 2, 1))  # [T, L, n]
-    grid = dm.reshape(t, L, size, 2)
+    grid = stacked.reshape(t, L, size, 2)
     lo = grid[..., 0].reshape(t, L, r, LANE)
     hi = grid[..., 1].reshape(t, L, r, LANE)
     return lo, hi
@@ -174,8 +176,8 @@ def _split_pairs(stacked):
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _round_evals_jit(spec, expr, keys, degree, use_identity,
                      stacked, idc, off, step):
-    """[T, n, L] tables -> [degree, 2L] exact u32 digit sums of the round
-    polynomial evaluations at t = 1..degree."""
+    """Digit-major [T, L, n] state -> [degree, 2L] exact u32 digit sums of
+    the round polynomial evaluations at t = 1..degree."""
     lo, hi = _split_pairs(stacked)
     t, _, r, _ = lo.shape
     s = min(SUBLANE, r)
@@ -204,7 +206,8 @@ def _round_evals_jit(spec, expr, keys, degree, use_identity,
 
 @functools.partial(jax.jit, static_argnums=0)
 def _fold_tables_jit(spec, stacked, challenge_digits):
-    """[T, n, L] tables -> [T, n/2, L] folded with fix_var(challenge)."""
+    """Digit-major [T, L, n] state -> [T, L, n/2] folded with
+    fix_var(challenge)."""
     lo, hi = _split_pairs(stacked)
     t, _, r, _ = lo.shape
     s = min(SUBLANE, r)
@@ -225,8 +228,7 @@ def _fold_tables_jit(spec, stacked, challenge_digits):
         out_shape=jax.ShapeDtypeStruct((t, L, r, LANE), jnp.uint32),
         interpret=interpret_mode(),
     )(lo, hi, challenge_digits)
-    size = r * LANE
-    return jnp.transpose(out.reshape(t, L, size), (0, 2, 1))
+    return out.reshape(t, L, r * LANE)
 
 
 def usable(size: int) -> bool:
@@ -247,12 +249,11 @@ def usable(size: int) -> bool:
     )
 
 
-def round_evals(state, tables: Dict, expr, degree: int) -> List[int]:
+def round_evals(state, stacked, keys: Tuple, expr, degree: int) -> List[int]:
     """Round polynomial evaluations at t=1..degree as canonical ints
-    (host-reduced from exact digit sums)."""
+    (host-reduced from exact digit sums).  `stacked` is the digit-major
+    [T, L, n] state tensor, rows ordered by `keys`."""
     spec = state.spec
-    keys = tuple(sorted(tables))
-    stacked = jnp.stack([tables[k] for k in keys], axis=0)
     use_identity = ("identity",) in _used_leaves(expr)
     c_int = ((1 << (state.round + 1)) * spec.r2_mod_p) % spec.p
     off_int = spec.to_mont(
@@ -293,11 +294,8 @@ def _used_leaves(expr):
     return leaves
 
 
-def fold_tables(spec: FieldSpec, tables: Dict, challenge) -> Dict:
-    """fix_var over every table in one Pallas program; returns the same
-    dict shape with halved tables (tensor form [n/2, L])."""
-    keys = tuple(sorted(tables))
-    stacked = jnp.stack([tables[k] for k in keys], axis=0)
+def fold_tables(spec: FieldSpec, stacked, challenge):
+    """fix_var over the whole digit-major [T, L, n] state in one Pallas
+    program; returns the halved [T, L, n/2] state."""
     ch = jnp.asarray(int_to_digits(spec.to_mont(int(challenge) % spec.p)))
-    folded = _fold_tables_jit(spec, stacked, ch)
-    return {k: folded[i] for i, k in enumerate(keys)}
+    return _fold_tables_jit(spec, stacked, ch)

@@ -45,6 +45,13 @@ def use_mesh(mesh):
 def maybe_shard_rows(arr):
     """Place a [N, ...] device array with its row axis sharded over the
     active mesh; no-op when no mesh is set or N doesn't divide evenly."""
+    return maybe_shard_axis(arr, 0)
+
+
+def maybe_shard_axis(arr, axis: int):
+    """Shard `axis` of a device array over the active mesh (the hypercube
+    axis of a stacked table tensor); no-op when no mesh is set or the axis
+    doesn't divide evenly."""
     mesh = _ACTIVE_MESH
     if mesh is None:
         return arr
@@ -52,7 +59,12 @@ def maybe_shard_rows(arr):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_dev = mesh.devices.size
-    if arr.ndim == 0 or arr.shape[0] % n_dev != 0 or arr.shape[0] < 2 * n_dev:
+    if (
+        arr.ndim <= axis
+        or arr.shape[axis] % n_dev != 0
+        or arr.shape[axis] < 2 * n_dev
+    ):
         return arr
-    spec = P("data", *([None] * (arr.ndim - 1)))
-    return jax.device_put(arr, NamedSharding(mesh, spec))
+    names = [None] * arr.ndim
+    names[axis] = "data"
+    return jax.device_put(arr, NamedSharding(mesh, P(*names)))

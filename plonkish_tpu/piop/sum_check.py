@@ -180,10 +180,11 @@ class ProverState:
     """
 
     def __init__(self, spec: FieldSpec, num_vars: int, sum_: Fp,
-                 virtual_poly: VirtualPolynomial):
+                 virtual_poly: VirtualPolynomial, layout: str = "dm"):
         assert num_vars > 0
         assert virtual_poly.expression.max_used_rotation_distance() <= num_vars
         self.spec = spec
+        self.layout = layout  # jax mode: "dm" = [T, L, n], "tensor" = [T, n, L]
         self.num_vars = num_vars
         self.expression = virtual_poly.expression
         self.degree = virtual_poly.expression.degree()
@@ -223,20 +224,56 @@ class ProverState:
                     query.poly
                 ].evals[rmap]
 
+        self.table_keys: Tuple = ()
+        self.stacked = None
         if not limb.IS_CPP:
-            # Multi-chip: place every table with the hypercube axis sharded
-            # over the active mesh (high-order bits -> fix_var pairs stay
-            # local); GSPMD partitions the fused round programs and inserts
-            # the psum/all-gather collectives (SURVEY §2.8).
-            from ..parallel import maybe_shard_rows
+            # jax mode keeps ONE stacked tensor as the round state instead
+            # of per-table dicts: every round folds/evaluates all tables
+            # together, and the per-round jnp.stack of a dict view was a
+            # full extra copy of the live data (and the peak-memory blocker
+            # at k>=21 on a 16 GB chip).
+            #
+            # "dm" layout is digit-major [T, L, n] (hypercube axis minor):
+            # every per-round reshape/slice then happens on the minor axis,
+            # so no program ever materializes a transposed temp.  The
+            # tensor-form [.., n, 16] temps that a transpose inside a
+            # program produces get an XLA tile layout with the 16-wide
+            # digit axis on the 128-lane tile dim -> 8x HBM padding (the
+            # k=21 zero-check round program asked for 25 GB of temps).
+            tables = {("lagrange", i): v for i, v in self.lagranges.items()}
+            tables.update(
+                {("eq_xy", i): v for i, v in enumerate(self.eq_xys)}
+            )
+            tables.update({("poly", *k): v for k, v in self.polys.items()})
+            self.table_keys = tuple(sorted(tables))
+            if layout == "dm":
+                # per-table transposes ([n, L] -> [L, n]) are layout-safe
+                # (the lane axis is the big n); stacking them never builds
+                # a [.., n, L] rank-3 temp
+                stacked = jnp.stack(
+                    [tables[k].T for k in self.table_keys], axis=0
+                )
+                hyper_axis = 2
+            else:
+                stacked = jnp.stack(
+                    [tables[k] for k in self.table_keys], axis=0
+                )
+                hyper_axis = 1
+            self.poly_keys = tuple(sorted(self.polys))
+            self.lagranges = self.eq_xys = self.polys = None
+            # Multi-chip: place the hypercube axis sharded over the active
+            # mesh (high-order bits -> fix_var pairs stay shard-local);
+            # GSPMD partitions the fused round programs and inserts the
+            # psum/all-gather collectives (SURVEY §2.8).
+            from ..parallel import maybe_shard_axis
 
-            self.lagranges = {
-                i: maybe_shard_rows(v) for i, v in self.lagranges.items()
-            }
-            self.eq_xys = [maybe_shard_rows(v) for v in self.eq_xys]
-            self.polys = {
-                k: maybe_shard_rows(v) for k, v in self.polys.items()
-            }
+            self.stacked = maybe_shard_axis(stacked, hyper_axis)
+
+    def table(self, key: Tuple) -> jnp.ndarray:
+        """One table's current evaluations as a tensor-form [n, L] array
+        (jax mode: a row of the stacked state tensor)."""
+        row = self.stacked[self.table_keys.index(key)]
+        return row.T if self.layout == "dm" else row
 
     @property
     def size(self) -> int:
@@ -248,30 +285,19 @@ class ProverState:
         self.identity_offset = self.identity_offset + challenge * (1 << self.round)
         c = limb.const(spec, int(challenge))
         if not limb.IS_CPP:
-            # fold every table in ONE device call (per-op dispatch costs a
-            # network RTT on the tunneled TPU)
-            tables = {
-                ("lagrange", i): v for i, v in self.lagranges.items()
-            }
-            tables.update(
-                {("eq_xy", i): v for i, v in enumerate(self.eq_xys)}
-            )
-            tables.update({("poly", *k): v for k, v in self.polys.items()})
+            # fold the whole stacked state in ONE device call (per-op
+            # dispatch costs a network RTT on the tunneled TPU)
             from ..pallas import sumcheck as _psc
 
-            if _psc.usable(self.size):
-                folded = _psc.fold_tables(spec, tables, challenge)
+            if self.layout == "dm":
+                if _psc.usable(self.size):
+                    self.stacked = _psc.fold_tables(
+                        spec, self.stacked, challenge
+                    )
+                else:
+                    self.stacked = _fold_all_dm_jax(spec, self.stacked, c)
             else:
-                folded = _fold_all_jax(spec, tables, c)
-            self.lagranges = {
-                i: folded[("lagrange", i)] for i in self.lagranges
-            }
-            self.eq_xys = [
-                folded[("eq_xy", i)] for i in range(len(self.eq_xys))
-            ]
-            self.polys = {
-                k: folded[("poly", *k)] for k in self.polys
-            }
+                self.stacked = _fold_all_jax(spec, self.stacked, c)
         else:
             self.lagranges = {
                 i: _fix(spec, v, c) for i, v in self.lagranges.items()
@@ -283,8 +309,16 @@ class ProverState:
     def into_evals(self) -> List[Fp]:
         """Final evaluations of each input poly at the challenge point."""
         assert self.round == self.num_vars
-        idxs = sorted({p for (p, r) in self.polys if r == 0})
-        stack = limb.xnp.concatenate([self.polys[(p, 0)] for p in idxs], axis=0)
+        if not limb.IS_CPP:
+            idxs = sorted({p for (p, r) in self.poly_keys if r == 0})
+            stack = limb.xnp.concatenate(
+                [self.table(("poly", p, 0)) for p in idxs], axis=0
+            )
+        else:
+            idxs = sorted({p for (p, r) in self.polys if r == 0})
+            stack = limb.xnp.concatenate(
+                [self.polys[(p, 0)] for p in idxs], axis=0
+            )
         vals = limb.to_ints(limb.from_mont(self.spec, stack))
         return [Fp(int(v), self.spec) for v in vals]
 
@@ -299,50 +333,61 @@ _TAPE_PAD_SIZE = 1 << 10
 
 
 @_functools.partial(_jax.jit, static_argnums=0)
-def _fold_all_jax(spec, tables, challenge):
-    # every live table has the same [2*size, L] shape: one stacked fold
-    # keeps the compiled program size independent of the table count
-    keys = sorted(tables)
-    stacked = jnp.stack([tables[k] for k in keys], axis=0)
+def _fold_all_jax(spec, stacked, challenge):
+    # one stacked fold over [T, 2*size, L]: compiled program size is
+    # independent of the table count
     t, n2, l_ = stacked.shape
     pairs = stacked.reshape(t, n2 // 2, 2, l_)
+    return limb._fold_halves_jax(
+        spec, pairs[:, :, 0], pairs[:, :, 1], challenge
+    )
+
+
+@_functools.partial(_jax.jit, static_argnums=0)
+def _fold_all_dm_jax(spec, stacked, challenge):
+    """Digit-major [T, L, 2*size] fold.  Only small (tail-round) sizes and
+    CPU-mesh runs reach this path on TPU, so the internal tensor-form
+    transposes' padded temps stay tiny."""
+    t, l_, n2 = stacked.shape
+    tf = jnp.transpose(stacked, (0, 2, 1))
+    pairs = tf.reshape(t, n2 // 2, 2, l_)
     folded = limb._fold_halves_jax(
         spec, pairs[:, :, 0], pairs[:, :, 1], challenge
     )
-    return {k: folded[i] for i, k in enumerate(keys)}
+    return jnp.transpose(folded, (0, 2, 1))
 
 
 @_functools.partial(_jax.jit, static_argnums=(0, 1, 2, 3))
 def _tape_round_jax(
-    spec, tape, degree, use_identity, stacked, consts, id_mul, id_off,
-    id_step, mask
+    spec, tape_static, degree, use_identity, stacked, instrs, consts,
+    id_mul, id_off, id_step, mask
 ):
-    """One fused round message: [T, 2*size, L] tables (tape leaf order,
-    identity excluded) -> [degree, L] Montgomery totals at t = 1..degree.
+    """One fused round message: digit-major [T, L, 2*size] state tensor ->
+    [degree, L] Montgomery totals at t = 1..degree.
 
     The t-axis is materialized up front (leaf value at t is hi + (t-1)*step,
     eval.rs:210-322's per-poly step trick) and the tape is evaluated once
     over the [degree*size] batch; compiled size is O(tape switch), not
-    O(expression).  `mask` ([size] u32 0/1) zeroes rows past the true live
-    size — small rounds are zero-padded to one shared shape so every tail
-    round reuses a single compiled program (XLA CPU takes ~5s per field-op
-    program; without padding each of the last ~10 rounds would recompile)."""
+    O(expression).  `instrs` arrive with OP_LOAD operands already remapped
+    to stacked-row indices (identity = row T).  `mask` ([size] u32 0/1)
+    zeroes rows past the true live size — small rounds are zero-padded to
+    one shared shape so every tail round reuses a single compiled program
+    (XLA CPU takes ~5s per field-op program; without padding each of the
+    last ~10 rounds would recompile).  Only tail-round sizes and CPU-mesh
+    runs reach this on TPU, so the internal transpose temps stay tiny."""
     from . import tape as tape_mod
 
-    t_cnt, n2, l_ = stacked.shape
+    num_regs, out_reg = tape_static
+    t_cnt, l_, n2 = stacked.shape
     size = n2 // 2
-    grid = stacked.reshape(t_cnt, size, 2, l_)
+    tf = jnp.transpose(stacked, (0, 2, 1))  # [T, 2*size, L]
+    grid = tf.reshape(t_cnt, size, 2, l_)
     lo, hi = grid[:, :, 0], grid[:, :, 1]
     step = limb._sub_jax(spec, hi, lo)
-    rows = {}
     per_t = [hi]
     for t in range(1, degree):
         per_t.append(limb._add_jax(spec, per_t[-1], step))
     by_leaf = jnp.stack(per_t, axis=1)  # [T, d, size, L]
-    row_iter = iter(range(t_cnt))
-    for key in tape.leaf_keys:
-        if key != ("identity",):
-            rows[key] = by_leaf[next(row_iter)]
     if use_identity:
         # identity value at (t, b) = off + (t-1)*2^round + b*2^(round+1);
         # the scaling folds into id_mul = 2^(round+1)*R^2 so only b's raw
@@ -363,12 +408,12 @@ def _tape_round_jax(
                     spec, id_t[-1], jnp.broadcast_to(id_step, base.shape)
                 )
             )
-        rows[("identity",)] = jnp.stack(id_t, axis=0)
-    leaves = jnp.stack([rows[k] for k in tape.leaf_keys], axis=0)
-    leaves = leaves.reshape(len(tape.leaf_keys), degree * size, l_)
+        by_leaf = jnp.concatenate(
+            [by_leaf, jnp.stack(id_t, axis=0)[None]], axis=0
+        )
+    leaves = by_leaf.reshape(by_leaf.shape[0], degree * size, l_)
     out = tape_mod.eval_tape(
-        spec, tape.num_regs, tape.out_reg, jnp.asarray(tape.instrs),
-        leaves, consts,
+        spec, num_regs, out_reg, instrs, leaves, consts,
     )  # [degree*size, L]
     out = out.reshape(degree, size, l_)
     out = jnp.where((mask > 0)[None, :, None], out, jnp.uint32(0))
@@ -466,6 +511,8 @@ class EvaluationsProver:
     (expression, size): leaf pair-splitting, the t-loop, the expression DAG,
     and the tree-sum all fuse into a single XLA program."""
 
+    STATE_LAYOUT = "dm"  # digit-major [T, L, n] stacked state (jax mode)
+
     def __init__(self, state: ProverState):
         self.expr = state.expression.simplified(state.challenges)
 
@@ -473,17 +520,30 @@ class EvaluationsProver:
         spec = state.spec
         d = state.degree
         size = state.size
-        tables = {}
-        for i, tbl in state.lagranges.items():
-            tables[("lagrange", i)] = tbl
-        for idx, tbl in enumerate(state.eq_xys):
-            tables[("eq_xy", idx)] = tbl
-        for key, tbl in state.polys.items():
-            tables[("poly", *key)] = tbl
         from ..pallas import sumcheck as _psc
 
+        if state.stacked is not None:
+            table_keys, stacked_dm = state.table_keys, state.stacked
+        else:
+            # cpp-mode state driven through the jax round (equivalence
+            # tests): build the digit-major stacked view on the fly
+            tables = {("lagrange", i): v for i, v in state.lagranges.items()}
+            tables.update(
+                {("eq_xy", i): v for i, v in enumerate(state.eq_xys)}
+            )
+            tables.update(
+                {("poly", *k): v for k, v in state.polys.items()}
+            )
+            table_keys = tuple(sorted(tables))
+            stacked_dm = jnp.stack(
+                [jnp.asarray(np.asarray(tables[k])).T for k in table_keys],
+                axis=0,
+            )
+
         if _psc.usable(size):
-            vals = _psc.round_evals(state, tables, self.expr, d)
+            vals = _psc.round_evals(
+                state, stacked_dm, table_keys, self.expr, d
+            )
             evals = [Fp.zero(spec)] * (d + 1)
             for t in range(1, d + 1):
                 evals[t] = Fp(vals[t - 1], spec)
@@ -496,14 +556,21 @@ class EvaluationsProver:
 
         t = tape_mod.tape_for(self.expr, spec)
         use_identity = ("identity",) in t.leaf_keys
-        stacked = jnp.stack(
-            [tables[k] for k in t.leaf_keys if k != ("identity",)], axis=0
-        )
+        # remap OP_LOAD operands from tape leaf slots to stacked-state rows
+        # (identity = synthetic row T appended inside _tape_round_jax)
+        row_of = {k: i for i, k in enumerate(table_keys)}
+        row_of[("identity",)] = len(table_keys)
+        instrs = t.instrs.copy()
+        is_load = instrs[:, 0] == tape_mod.OP_LOAD
+        instrs[is_load, 1] = np.asarray(
+            [row_of[k] for k in t.leaf_keys], dtype=np.int32
+        )[instrs[is_load, 1]]
+        stacked = stacked_dm  # [T, L, 2*size] digit-major
         # pad tail rounds up to one shared shape (see _tape_round_jax)
         psize = max(size, _TAPE_PAD_SIZE)
         if size < psize:
             stacked = jnp.pad(
-                stacked, ((0, 0), (0, 2 * (psize - size)), (0, 0))
+                stacked, ((0, 0), (0, 0), (0, 2 * (psize - size)))
             )
         mask = np.zeros(psize, np.uint32)
         mask[:size] = 1
@@ -516,7 +583,8 @@ class EvaluationsProver:
         )
         id_step = limb.const(spec, (1 << state.round) % spec.p, mont=True)
         totals = _tape_round_jax(
-            spec, t, d, use_identity, stacked, t.const_rows(spec),
+            spec, (t.num_regs, t.out_reg), d, use_identity, stacked,
+            jnp.asarray(instrs), t.const_rows(spec),
             id_mul, id_off, id_step, jnp.asarray(mask),
         )  # [d, L] canonical
         vals = limb.to_ints(totals)
@@ -642,6 +710,10 @@ class CoefficientsProver:
     """Flattens the expression to constant + Σ scalar·eq_xy·poly and runs the
     lazy karatsuba round (coeff.rs:66-208)."""
 
+    # tensor-form [T, n, L] state: the deg-2 round works on a handful of
+    # tables and its fused program reshapes only the middle axis
+    STATE_LAYOUT = "tensor"
+
     def __init__(self, state: ProverState):
         spec = state.spec
         challenges = state.challenges
@@ -701,8 +773,12 @@ class CoefficientsProver:
                 eq_idx = rhs.poly.idx
                 query = lhs.query
             assert query.rotation.value == 0
-            eqs.append(state.eq_xys[eq_idx])
-            ps.append(state.polys[(query.poly, 0)])
+            if limb.IS_CPP:
+                eqs.append(state.eq_xys[eq_idx])
+                ps.append(state.polys[(query.poly, 0)])
+            else:
+                eqs.append(state.table(("eq_xy", eq_idx)))
+                ps.append(state.table(("poly", query.poly, 0)))
             scalars.append(int(scalar))
         return eqs, ps, scalars
 
@@ -819,7 +895,10 @@ class ClassicSumCheck:
         transcript: Keccak256Transcript,
     ) -> Tuple[List[Fp], List[Fp]]:
         with span(f"sum_check_prove-{num_vars}-{virtual_poly.expression.degree()}"):
-            state = ProverState(spec, num_vars, sum_, virtual_poly)
+            state = ProverState(
+                spec, num_vars, sum_, virtual_poly,
+                layout=getattr(self.prover_cls, "STATE_LAYOUT", "dm"),
+            )
             prover = self.prover_cls(state)
             aux = self.message_cls.auxiliary(state.degree, spec)
             challenges = []

@@ -76,11 +76,13 @@ def check_sumcheck(size=1 << 13):
     state = types.SimpleNamespace(
         spec=SPEC, round=round_, identity_offset=Fp(offset, SPEC)
     )
+    keys = tuple(sorted(tables))
+    stacked = jnp.stack([tables[k].T for k in keys], axis=0)  # [T, L, n]
     t0 = time.time()
-    got = psc.round_evals(state, tables, expr, degree)
+    got = psc.round_evals(state, stacked, keys, expr, degree)
     print(f"round_evals cold: {time.time() - t0:.1f}s")
     t0 = time.time()
-    got2 = psc.round_evals(state, tables, expr, degree)
+    got2 = psc.round_evals(state, stacked, keys, expr, degree)
     print(f"round_evals warm: {time.time() - t0:.3f}s")
     assert got == got2
 
@@ -121,11 +123,13 @@ def check_sumcheck(size=1 << 13):
     print("sumcheck round_evals: MATCH")
 
     ch = Fp(RNG.randrange(SPEC.p), SPEC)
-    folded = psc.fold_tables(SPEC, tables, ch)
+    folded = psc.fold_tables(SPEC, stacked, ch)  # [T, L, size]
     c = limb.const(SPEC, int(ch))
-    for k, tbl in tables.items():
-        ref = limb._fold_pairs_jax(SPEC, tbl, jnp.asarray(np.asarray(c)))
-        assert np.array_equal(np.asarray(folded[k]), np.asarray(ref)), k
+    for i, k in enumerate(keys):
+        ref = limb._fold_pairs_jax(
+            SPEC, tables[k], jnp.asarray(np.asarray(c))
+        )
+        assert np.array_equal(np.asarray(folded[i]).T, np.asarray(ref)), k
     print("sumcheck fold_tables: MATCH")
 
 

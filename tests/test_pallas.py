@@ -129,17 +129,21 @@ def test_pallas_round_evals_and_fold():
     state = types.SimpleNamespace(
         spec=SPEC, round=round_, identity_offset=Fp(offset, SPEC)
     )
-    got = psc.round_evals(state, tables, expr, degree)
+    keys = tuple(sorted(tables))
+    stacked = jnp.stack([tables[k].T for k in keys], axis=0)  # [T, L, n]
+    got = psc.round_evals(state, stacked, keys, expr, degree)
     want = _host_round_evals(tables, expr, degree, round_, offset, size)
     assert got == want
 
     # fold: new = lo + c*(hi-lo), bit-exact vs the limb fold
     ch = Fp(RNG.randrange(SPEC.p), SPEC)
-    folded = psc.fold_tables(SPEC, tables, ch)
+    folded = psc.fold_tables(SPEC, stacked, ch)  # [T, L, n/2]
     c = limb.const(SPEC, int(ch))
-    for k, tbl in tables.items():
-        ref = limb._fold_pairs_jax(SPEC, tbl, jnp.asarray(np.asarray(c)))
-        assert np.array_equal(np.asarray(folded[k]), np.asarray(ref)), k
+    for i, k in enumerate(keys):
+        ref = limb._fold_pairs_jax(
+            SPEC, tables[k], jnp.asarray(np.asarray(c))
+        )
+        assert np.array_equal(np.asarray(folded[i]).T, np.asarray(ref)), k
 
 
 def test_pallas_msm_bucket_kernel():
