@@ -34,3 +34,12 @@ def sanity_checks() -> bool:
     """Gate for expensive internal assertions (reference `sanity-check`
     feature, e.g. sum-check claimed-sum validation at prove time)."""
     return os.environ.get("PLONKISH_TPU_SANITY", "0") == "1"
+
+
+def device_fs() -> bool:
+    """Device-resident Fiat-Shamir for the jax sum-check prover: the
+    transcript sponge runs on device so every round's programs enqueue
+    asynchronously (zero per-round host syncs — the tunneled-TPU latency
+    fix, piop/fiat_shamir.py).  Default on; set PLONKISH_TPU_DEVICE_FS=0
+    to fall back to the per-round host squeeze."""
+    return os.environ.get("PLONKISH_TPU_DEVICE_FS", "1") == "1"

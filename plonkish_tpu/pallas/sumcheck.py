@@ -249,32 +249,48 @@ def usable(size: int) -> bool:
     )
 
 
-def round_evals(state, stacked, keys: Tuple, expr, degree: int) -> List[int]:
-    """Round polynomial evaluations at t=1..degree as canonical ints
-    (host-reduced from exact digit sums).  `stacked` is the digit-major
-    [T, L, n] state tensor, rows ordered by `keys`."""
-    spec = state.spec
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _round_evals_canon_jit(spec, expr, keys, degree, use_identity,
+                           stacked, idc, off_mont, stp):
+    """Round kernel + device digit-sum reduction in one program:
+    digit-major [T, L, n] state -> [degree, L] canonical round-poly values
+    at t=1..degree.  `off_mont` is the Montgomery identity offset carried
+    on device (the device-FS driver never knows it on host)."""
+    from ..piop import fiat_shamir as fs
+
+    off = limb._add_jax(spec, off_mont, stp)  # mont(identity_offset + 2^round)
+    sums = _round_evals_jit(
+        spec, expr, keys, degree, use_identity, stacked, idc, off, stp
+    )
+    return fs.digit_sums_to_canonical(spec, sums)
+
+
+def round_evals_canon(spec, expr, keys: Tuple, degree: int, round_: int,
+                      off_mont, stacked):
+    """Device [degree, L] canonical round evaluations (no host sync)."""
     use_identity = ("identity",) in _used_leaves(expr)
-    c_int = ((1 << (state.round + 1)) * spec.r2_mod_p) % spec.p
-    off_int = spec.to_mont(
-        (int(state.identity_offset) + (1 << state.round)) % spec.p
-    )
-    step_int = spec.to_mont((1 << state.round) % spec.p)
+    c_int = ((1 << (round_ + 1)) * spec.r2_mod_p) % spec.p
     idc = jnp.asarray(int_to_digits(c_int))
-    off = jnp.asarray(int_to_digits(off_int))
-    stp = jnp.asarray(int_to_digits(step_int))
-    sums = np.asarray(
-        _round_evals_jit(
-            spec, expr, keys, degree, use_identity, stacked, idc, off, stp
-        )
+    stp = jnp.asarray(int_to_digits(spec.to_mont((1 << round_) % spec.p)))
+    return _round_evals_canon_jit(
+        spec, expr, keys, degree, use_identity, stacked, idc, off_mont, stp
     )
-    out = []
-    for t in range(degree):
-        total = 0
-        for d in range(L):
-            total += (int(sums[t, 2 * d]) + (int(sums[t, 2 * d + 1]) << 16)) << (16 * d)
-        out.append(spec.from_mont(total % spec.p))
-    return out
+
+
+def round_evals(state, stacked, keys: Tuple, expr, degree: int) -> List[int]:
+    """Round polynomial evaluations at t=1..degree as canonical ints.
+    `stacked` is the digit-major [T, L, n] state tensor, rows ordered by
+    `keys`."""
+    from ..piop import fiat_shamir as fs
+
+    spec = state.spec
+    off_mont = jnp.asarray(
+        int_to_digits(spec.to_mont(int(state.identity_offset) % spec.p))
+    )
+    canon = round_evals_canon(
+        spec, expr, keys, degree, state.round, off_mont, stacked
+    )
+    return [fs.digits_to_int(row) for row in np.asarray(canon)]
 
 
 def _used_leaves(expr):

@@ -516,39 +516,41 @@ class EvaluationsProver:
     def __init__(self, state: ProverState):
         self.expr = state.expression.simplified(state.challenges)
 
-    def _prove_round_jax(self, state: ProverState) -> Evaluations:
-        spec = state.spec
-        d = state.degree
-        size = state.size
+    @staticmethod
+    def _stacked_view(state: ProverState):
+        """(table_keys, digit-major stacked tensor) — from the live jax
+        state, or built on the fly for a cpp-mode state driven through the
+        jax round (equivalence tests)."""
+        if state.stacked is not None:
+            return state.table_keys, state.stacked
+        tables = {("lagrange", i): v for i, v in state.lagranges.items()}
+        tables.update(
+            {("eq_xy", i): v for i, v in enumerate(state.eq_xys)}
+        )
+        tables.update(
+            {("poly", *k): v for k, v in state.polys.items()}
+        )
+        table_keys = tuple(sorted(tables))
+        stacked_dm = jnp.stack(
+            [jnp.asarray(np.asarray(tables[k])).T for k in table_keys],
+            axis=0,
+        )
+        return table_keys, stacked_dm
+
+    def evals_canon_device(
+        self, spec, stacked_dm, table_keys, size: int, round_: int,
+        off_mont, degree: int,
+    ):
+        """[d, L] canonical round-poly values at t=1..d, fully on device
+        (no host sync — usable from the async device-FS driver).
+        `off_mont` is the Montgomery identity offset as a digit tensor."""
         from ..pallas import sumcheck as _psc
 
-        if state.stacked is not None:
-            table_keys, stacked_dm = state.table_keys, state.stacked
-        else:
-            # cpp-mode state driven through the jax round (equivalence
-            # tests): build the digit-major stacked view on the fly
-            tables = {("lagrange", i): v for i, v in state.lagranges.items()}
-            tables.update(
-                {("eq_xy", i): v for i, v in enumerate(state.eq_xys)}
-            )
-            tables.update(
-                {("poly", *k): v for k, v in state.polys.items()}
-            )
-            table_keys = tuple(sorted(tables))
-            stacked_dm = jnp.stack(
-                [jnp.asarray(np.asarray(tables[k])).T for k in table_keys],
-                axis=0,
-            )
-
         if _psc.usable(size):
-            vals = _psc.round_evals(
-                state, stacked_dm, table_keys, self.expr, d
+            return _psc.round_evals_canon(
+                spec, self.expr, table_keys, degree, round_, off_mont,
+                stacked_dm,
             )
-            evals = [Fp.zero(spec)] * (d + 1)
-            for t in range(1, d + 1):
-                evals[t] = Fp(vals[t - 1], spec)
-            evals[0] = state.sum - evals[1]
-            return Evaluations(evals)
 
         # Compile-size-bounded path: SSA tape + lax.scan (piop/tape.py).
         from ..fields.spec import int_to_digits
@@ -574,23 +576,36 @@ class EvaluationsProver:
             )
         mask = np.zeros(psize, np.uint32)
         mask[:size] = 1
-        c = ((1 << (state.round + 1)) * spec.r2_mod_p) % spec.p
+        c = ((1 << (round_ + 1)) * spec.r2_mod_p) % spec.p
         id_mul = jnp.asarray(int_to_digits(c))
-        id_off = limb.const(
-            spec,
-            (int(state.identity_offset) + (1 << state.round)) % spec.p,
-            mont=True,
-        )
-        id_step = limb.const(spec, (1 << state.round) % spec.p, mont=True)
-        totals = _tape_round_jax(
-            spec, (t.num_regs, t.out_reg), d, use_identity, stacked,
+        id_step = limb.const(spec, (1 << round_) % spec.p, mont=True)
+        id_off = limb._add_jax(spec, off_mont, id_step)
+        return _tape_round_jax(
+            spec, (t.num_regs, t.out_reg), degree, use_identity, stacked,
             jnp.asarray(instrs), t.const_rows(spec),
             id_mul, id_off, id_step, jnp.asarray(mask),
         )  # [d, L] canonical
-        vals = limb.to_ints(totals)
+
+    def _prove_round_jax(self, state: ProverState) -> Evaluations:
+        from . import fiat_shamir as fs
+
+        spec = state.spec
+        d = state.degree
+        table_keys, stacked_dm = self._stacked_view(state)
+        off_mont = jnp.asarray(
+            np.asarray(
+                limb.const(spec, int(state.identity_offset) % spec.p,
+                           mont=True)
+            )
+        )  # np in cpp mode, jnp in jax mode — normalize to a device array
+        canon = self.evals_canon_device(
+            spec, stacked_dm, table_keys, state.size, state.round,
+            off_mont, d,
+        )
+        vals = np.asarray(canon)
         evals = [Fp.zero(spec)] * (d + 1)
         for t_ in range(1, d + 1):
-            evals[t_] = Fp(int(vals[t_ - 1]), spec)
+            evals[t_] = Fp(fs.digits_to_int(vals[t_ - 1]), spec)
         evals[0] = state.sum - evals[1]
         return Evaluations(evals)
 
@@ -904,6 +919,23 @@ class ClassicSumCheck:
             challenges = []
             from .. import config
 
+            if not limb.IS_CPP and config.device_fs():
+                if (
+                    self.message_cls is Evaluations
+                    and isinstance(prover, EvaluationsProver)
+                ):
+                    return self._prove_device_fs(
+                        spec, num_vars, state, prover, aux, transcript
+                    )
+                if (
+                    self.message_cls is Coefficients
+                    and isinstance(prover, CoefficientsProver)
+                    and prover.flattened
+                ):
+                    return self._prove_device_fs_coeff(
+                        spec, num_vars, state, prover, aux, transcript
+                    )
+
             for round_ in range(num_vars):
                 with span(f"sum_check_prove_round-{round_}"):
                     msg = prover.prove_round(state)
@@ -920,6 +952,181 @@ class ClassicSumCheck:
                 challenges.append(challenge)
                 with span(f"sum_check_next_round-{round_}"):
                     state.next_round(msg.evaluate(aux, challenge), challenge)
+        return challenges, state.into_evals()
+
+    def _prove_device_fs(
+        self, spec, num_vars, state, prover, aux, transcript,
+    ) -> Tuple[List[Fp], List[Fp]]:
+        """All-rounds-async prover: the Fiat-Shamir sponge lives on device
+        (piop/fiat_shamir.py), so the k (evals, message/squeeze, fold)
+        programs enqueue without any host sync; round messages come back in
+        ONE transfer at the end and the host transcript is replayed from
+        them.  The replayed host challenges are checked against the device
+        challenges — a transcript divergence raises instead of producing an
+        unverifiable proof."""
+        from ..fields.spec import int_to_digits
+        from ..pallas import sumcheck as _psc
+        from .. import config
+        from . import fiat_shamir as fs
+
+        d = state.degree
+        table_keys, stacked = prover._stacked_view(state)
+
+        lanes, pending = transcript.export_sponge()
+        sponge = fs.DeviceSponge.from_host(lanes, pending)
+        pts = [Fp(i, spec) for i in range(d + 1)]
+        weights = barycentric_weights(pts)
+        w_mont = jnp.asarray(
+            np.stack([int_to_digits(spec.to_mont(int(x))) for x in weights])
+        )
+        pts_mont = jnp.asarray(
+            np.stack([int_to_digits(spec.to_mont(int(x))) for x in pts])
+        )
+        sum_mont = jnp.asarray(int_to_digits(spec.to_mont(int(state.sum))))
+        off_mont = jnp.asarray(
+            int_to_digits(spec.to_mont(int(state.identity_offset) % spec.p))
+        )
+
+        msgs, chs = [], []
+        for round_ in range(num_vars):
+            size = 1 << (num_vars - round_ - 1)
+            evals = prover.evals_canon_device(
+                spec, stacked, table_keys, size, round_, off_mont, d
+            )
+            step_mont = jnp.asarray(
+                int_to_digits(spec.to_mont((1 << round_) % spec.p))
+            )
+            (msg_canon, ch_canon, ch_mont, sum_mont, off_mont,
+             sponge) = fs.round_message(
+                spec, d, sponge, evals, sum_mont, off_mont,
+                w_mont, pts_mont, step_mont,
+            )
+            if _psc.usable(size):
+                stacked = _psc._fold_tables_jit(spec, stacked, ch_mont)
+            else:
+                stacked = _fold_all_dm_jax(spec, stacked, ch_mont)
+            msgs.append(msg_canon)
+            chs.append(ch_canon)
+
+        # ONE device->host transfer for everything the transcript needs
+        msgs_np = np.asarray(jnp.stack(msgs))  # [k, d+1, L]
+        chs_np = np.asarray(jnp.stack(chs))  # [k, L]
+
+        challenges: List[Fp] = []
+        for round_ in range(num_vars):
+            msg = Evaluations(
+                [Fp(fs.digits_to_int(msgs_np[round_, i]), spec)
+                 for i in range(d + 1)]
+            )
+            if config.sanity_checks():
+                assert msg.sum() == state.sum, (
+                    f"sum-check round {round_}: message sum "
+                    f"{msg.sum()} != claimed {state.sum}"
+                )
+            msg.write(transcript)
+            challenge = transcript.squeeze_challenge()
+            if int(challenge) != fs.digits_to_int(chs_np[round_]):
+                raise ValueError(
+                    f"device Fiat-Shamir diverged from host transcript at "
+                    f"round {round_}"
+                )
+            challenges.append(challenge)
+            state.sum = msg.evaluate(aux, challenge)
+            state.identity_offset = (
+                state.identity_offset + challenge * (1 << round_)
+            )
+
+        state.stacked = stacked
+        state.round = num_vars
+        return challenges, state.into_evals()
+
+    def _prove_device_fs_coeff(
+        self, spec, num_vars, state, prover, aux, transcript,
+    ) -> Tuple[List[Fp], List[Fp]]:
+        """Device-FS variant for the degree-2 CoefficientsProver (the PCS
+        batch-open sum-check): same async structure as _prove_device_fs,
+        with the karatsuba (c0, c2) kernel and Horner next-sum."""
+        from ..fields.spec import int_to_digits
+        from .. import config
+        from . import fiat_shamir as fs
+
+        # static row selection: each flattened term is eq_xy * poly
+        row_of = {k: i for i, k in enumerate(state.table_keys)}
+        eq_rows, p_rows, scalars = [], [], []
+        for scalar, prods in prover.flattened:
+            lhs, rhs = prods
+            if isinstance(lhs, CommonPoly):
+                eq_idx, query = lhs.poly.idx, rhs.query
+            else:
+                eq_idx, query = rhs.poly.idx, lhs.query
+            assert query.rotation.value == 0
+            eq_rows.append(row_of[("eq_xy", eq_idx)])
+            p_rows.append(row_of[("poly", query.poly, 0)])
+            scalars.append(int(scalar))
+        eq_rows = jnp.asarray(np.asarray(eq_rows, dtype=np.int32))
+        p_rows = jnp.asarray(np.asarray(p_rows, dtype=np.int32))
+        sc = jnp.asarray(
+            np.stack([int_to_digits(spec.to_mont(s)) for s in scalars])
+        )
+
+        lanes, pending = transcript.export_sponge()
+        sponge = fs.DeviceSponge.from_host(lanes, pending)
+        sum_mont = jnp.asarray(int_to_digits(spec.to_mont(int(state.sum))))
+        stacked = state.stacked  # tensor layout [T, n, L]
+
+        msgs, chs = [], []
+        for round_ in range(num_vars):
+            size = 1 << (num_vars - round_ - 1)
+            c0_base = Fp(size, spec) * prover.constant
+            c0_base_mont = jnp.asarray(
+                int_to_digits(spec.to_mont(int(c0_base)))
+            )
+            eq_s, p_s = stacked[eq_rows], stacked[p_rows]
+            psize = max(size, _TAPE_PAD_SIZE)
+            if size < psize:
+                padrows = 2 * (psize - size)
+                eq_s = jnp.pad(eq_s, ((0, 0), (0, padrows), (0, 0)))
+                p_s = jnp.pad(p_s, ((0, 0), (0, padrows), (0, 0)))
+            mask = np.zeros(psize, np.uint32)
+            mask[:size] = 1
+            v_canon = _coeff_round_jax(spec, eq_s, p_s, sc, jnp.asarray(mask))
+            (msg_canon, ch_canon, ch_mont, sum_mont,
+             sponge) = fs.coeff_message(
+                spec, sponge, v_canon, c0_base_mont, sum_mont
+            )
+            stacked = _fold_all_jax(spec, stacked, ch_mont)
+            msgs.append(msg_canon)
+            chs.append(ch_canon)
+
+        msgs_np = np.asarray(jnp.stack(msgs))  # [k, 3, L]
+        chs_np = np.asarray(jnp.stack(chs))
+
+        challenges: List[Fp] = []
+        for round_ in range(num_vars):
+            msg = Coefficients(
+                [Fp(fs.digits_to_int(msgs_np[round_, i]), spec)
+                 for i in range(3)]
+            )
+            if config.sanity_checks():
+                assert msg.sum() == state.sum, (
+                    f"sum-check round {round_}: message sum "
+                    f"{msg.sum()} != claimed {state.sum}"
+                )
+            msg.write(transcript)
+            challenge = transcript.squeeze_challenge()
+            if int(challenge) != fs.digits_to_int(chs_np[round_]):
+                raise ValueError(
+                    f"device Fiat-Shamir diverged from host transcript at "
+                    f"round {round_}"
+                )
+            challenges.append(challenge)
+            state.sum = msg.evaluate(aux, challenge)
+            state.identity_offset = (
+                state.identity_offset + challenge * (1 << round_)
+            )
+
+        state.stacked = stacked
+        state.round = num_vars
         return challenges, state.into_evals()
 
     def verify(

@@ -110,6 +110,12 @@ class _PyKeccak256:
         self._buf = b""
         return out
 
+    def export_state(self):
+        """(25 lane ints in absorb order i -> state[i%5][i//5], pending
+        bytes) — for seeding a device-resident sponge."""
+        lanes = [self._state[i % 5][i // 5] for i in range(25)]
+        return lanes, self._buf
+
 
 class _NativeKeccak256:
     """Buffering hasher that defers to the native one-shot kernel (streaming
@@ -133,6 +139,13 @@ class _NativeKeccak256:
         out = self.digest()
         self._parts = []
         return out
+
+    def export_state(self):
+        """See _PyKeccak256.export_state (replays absorbs in Python —
+        transcript traffic is tiny)."""
+        h = _PyKeccak256()
+        h.update(b"".join(self._parts))
+        return h.export_state()
 
 
 def _native_available() -> bool:

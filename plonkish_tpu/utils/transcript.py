@@ -46,6 +46,11 @@ class Keccak256Transcript:
     def into_proof(self) -> bytes:
         return self.stream.getvalue()
 
+    def export_sponge(self):
+        """Current Keccak state as (25 lane ints, pending bytes) — seeds
+        the device-resident sum-check sponge (piop/fiat_shamir.py)."""
+        return self.state.export_state()
+
     # ---- squeezing ----
     def squeeze_challenge(self) -> Fp:
         h = self.state.finalize_reset()
