@@ -182,6 +182,43 @@ def permutation_z_polys(
     beta_c = limb.const(spec, int(beta))
     gamma_c = limb.const(spec, int(gamma))
 
+    if not limb.IS_CPP:
+        # jax mode: the whole phase (chunk products, one global batch
+        # inversion, BH-ordered grand-product scan, chunk interleave) is
+        # ONE program — the eager per-chunk version costs ~30 device
+        # dispatches, each a network RTT on the tunneled TPU
+        import jax.numpy as jnp
+        from ...fields.spec import int_to_digits
+
+        bh = BooleanHypercube(num_vars)
+        perm_evals = jnp.stack([p.evals for _, p in permutation_polys])
+        wit_evals = jnp.stack(
+            [polys[idx].evals for idx, _ in permutation_polys]
+        )
+        offsets = jnp.asarray(
+            limb.np.stack(
+                [
+                    int_to_digits(
+                        spec.to_mont((g << num_vars) % spec.p)
+                    )
+                    for g in range(len(permutation_polys))
+                ]
+            )
+        )
+        z, closing = _z_polys_jax(
+            spec, num_vars, num_chunks, chunk_size,
+            perm_evals, wit_evals, offsets,
+            jnp.asarray(beta_c), jnp.asarray(gamma_c),
+            jnp.asarray(bh.iter_array[1:]), jnp.asarray(bh.nth_map),
+        )
+        if config.sanity_checks():
+            val = int(limb.to_ints(limb.from_mont(spec, closing))[0])
+            if val != 1:
+                raise AssertionError(
+                    "sanity: permutation grand product != 1"
+                )
+        return [MLPoly(spec, z[c]) for c in range(num_chunks)]
+
     products = []  # per chunk: [n, L] tensor
     for c in range(num_chunks):
         chunk = permutation_polys[c * chunk_size: (c + 1) * chunk_size]
@@ -243,6 +280,82 @@ def permutation_z_polys(
         z_c = z_flat[nth_map * nc + c]
         out.append(MLPoly(spec, z_c))
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _z_polys_jax(
+    spec, num_vars: int, nc: int, chunk_size: int,
+    perm_evals, wit_evals, offsets, beta, gamma, order_bs, nth_map,
+):
+    """Fused permutation-z phase: [P, n, L] permutation/witness tables ->
+    ([nc, n, L] z polys, [1, L] closing grand product).
+
+    Same math as the eager path below (prover.rs:252-345): per chunk
+    Π(id_i + beta·i + gamma + w_i) / Π(id_i + beta·sigma_i + gamma + w_i),
+    with ONE global batched inversion across all chunks and the BH-ordered
+    prefix-product scan inline."""
+    p_cnt, n, l_ = perm_evals.shape
+    denom_terms = limb._add_jax(
+        spec,
+        limb._add_jax(
+            spec, limb._mont_mul_jax(spec, beta, perm_evals), gamma
+        ),
+        wit_evals,
+    )  # [P, n, L]
+    b = jnp.arange(n, dtype=jnp.uint32)
+    ident = jnp.concatenate(
+        [
+            jnp.stack([b & jnp.uint32(0xFFFF), b >> jnp.uint32(16)], axis=-1),
+            jnp.zeros((n, limb.L - 2), dtype=jnp.uint32),
+        ],
+        axis=-1,
+    )
+    ident = limb._mont_mul_jax(spec, ident, jnp.asarray(spec.r2_digits))
+    id_vals = limb._add_jax(spec, ident[None], offsets[:, None])  # [P, n, L]
+    numer_terms = limb._add_jax(
+        spec,
+        limb._add_jax(
+            spec, limb._mont_mul_jax(spec, beta, id_vals), gamma
+        ),
+        wit_evals,
+    )
+
+    denoms, numers = [], []
+    for c in range(nc):
+        lo = c * chunk_size
+        hi = min(lo + chunk_size, p_cnt)
+        d_c = n_c = None
+        for j in range(lo, hi):
+            d_c = denom_terms[j] if d_c is None else limb._mont_mul_jax(
+                spec, d_c, denom_terms[j]
+            )
+            n_c = numer_terms[j] if n_c is None else limb._mont_mul_jax(
+                spec, n_c, numer_terms[j]
+            )
+        denoms.append(d_c)
+        numers.append(n_c)
+    # one global batched inversion (each chunk's was a separate Fermat
+    # exponentiation before)
+    denom_inv = limb.batch_inv(
+        spec, jnp.stack(denoms).reshape(nc * n, l_)
+    ).reshape(nc, n, l_)
+    stacked = limb._mont_mul_jax(spec, jnp.stack(numers), denom_inv)
+
+    seq = stacked[:, order_bs]  # [nc, n-1, L]
+    seq_full = jnp.swapaxes(seq, 0, 1).reshape((n - 1) * nc, l_)
+    seq_cut = seq_full[: nc * n - nc - 1]
+    cum = limb._prefix_mul_jax(spec, seq_cut)
+    closing = limb._mont_mul_jax(spec, cum[-1:], seq_full[-1:])
+    z_flat = jnp.concatenate(
+        [
+            jnp.zeros((nc, l_), dtype=jnp.uint32),
+            limb.one(spec, (1,)),
+            cum,
+        ],
+        axis=0,
+    )  # [nc*n, L]
+    idx = nth_map[None, :] * nc + jnp.arange(nc, dtype=nth_map.dtype)[:, None]
+    return z_flat[idx], closing
 
 
 def prove_zero_check(
