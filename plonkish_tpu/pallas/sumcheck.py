@@ -4,7 +4,9 @@ Reference semantics: /root/reference/plonkish_backend/src/piop/sum_check/
 classic/eval.rs:92-322 (per-round evals at t=1..d with per-poly steps) and
 classic.rs:90-141 (fix_var fold).  TPU redesign:
 
-- tables stream through VMEM in [L, S, 128] digit-major tiles; all digit
+- tables stream through VMEM as PACKED digit-major tiles (two 16-bit
+  digits per u32 word, [W=8, S, 128] blocks -- half the HBM footprint and
+  traffic of unpacked digits; kernels unpack per block); all digit
   interactions are struct-of-arrays VPU ops (fields/soa.py), so the kernel
   body is a few K ops compiled ONCE per (expression, size) and iterated by
   the grid — the fused XLA variant of this loop OOMed the compiler at
@@ -84,6 +86,41 @@ def _eval_expression_soa(spec: FieldSpec, expr, leaves: Dict):
     )
 
 
+W = L // 2  # packed words per element: two 16-bit digits per u32
+
+
+def pack_digits(x):
+    """[.., L, n] digit-major (digits < 2^16) -> [.., W, n] packed words
+    (word w = digit_2w | digit_{2w+1} << 16).  Halves the HBM footprint and
+    traffic of the sum-check state; kernels unpack per VMEM block (2 VPU
+    ops per word vs an HBM read).  Slicing is on the digit axis, so the
+    minor hypercube axis layout is preserved."""
+    return x[..., 0::2, :] | (x[..., 1::2, :] << jnp.uint32(16))
+
+
+def unpack_digits(x):
+    """[.., W, n] packed words -> [.., L, n] exact digits."""
+    lo = x & jnp.uint32(0xFFFF)
+    hi = x >> jnp.uint32(16)
+    return jnp.stack([lo, hi], axis=-2).reshape(
+        *x.shape[:-2], L, x.shape[-1]
+    )
+
+
+pack_digits_jit = jax.jit(pack_digits)
+unpack_digits_jit = jax.jit(unpack_digits)
+
+
+def _unpack_rows(ref, ki):
+    """Packed [T, W, ...] VMEM ref -> per-digit list of 16 blocks."""
+    out = []
+    for w in range(W):
+        v = ref[ki, w]
+        out.append(v & jnp.uint32(0xFFFF))
+        out.append(v >> jnp.uint32(16))
+    return out
+
+
 def _round_kernel(spec, expr, keys, num_blocks, use_identity,
                   lo_ref, hi_ref, idc_ref, off_ref, step_ref,
                   out_ref, acc_ref):
@@ -101,13 +138,13 @@ def _round_kernel(spec, expr, keys, num_blocks, use_identity,
             0, t_idx, lambda _, cu: soa.add(spec, cu, step), base
         )
 
-    # per-(table, digit) lazy loads: materializing the whole [T, L, S,
-    # LANE] blocks up front costs T*L vregs of register pressure per block
+    # per-(table, word) lazy loads: materializing the whole [T, W, S,
+    # LANE] blocks up front costs T*W vregs of register pressure per block
     # and the resulting spills dominate the step
     leaves = {}
     for ki, key in enumerate(keys):
-        h = [hi_ref[ki, d] for d in range(L)]
-        l_ = [lo_ref[ki, d] for d in range(L)]
+        h = _unpack_rows(hi_ref, ki)
+        l_ = _unpack_rows(lo_ref, ki)
         leaves[key] = at_t(h, soa.sub(spec, h, l_))
 
     if use_identity:
@@ -145,39 +182,40 @@ def _round_kernel(spec, expr, keys, num_blocks, use_identity,
 
 
 def _fold_kernel(spec, lo_ref, hi_ref, ch_ref, out_ref):
-    """new = lo + c*(hi - lo) for one table block (fix_var)."""
-    l_ = [lo_ref[0, d] for d in range(L)]
-    h = [hi_ref[0, d] for d in range(L)]
+    """new = lo + c*(hi - lo) for one table block (fix_var); packed
+    words in, packed words out."""
+    l_ = _unpack_rows(lo_ref, 0)
+    h = _unpack_rows(hi_ref, 0)
     shape = l_[0].shape
     ch = [jnp.broadcast_to(ch_ref[d], shape) for d in range(L)]
     out = soa.add(
         spec, l_, soa.mont_mul(spec, soa.sub(spec, h, l_), ch)
     )
-    for d in range(L):
-        out_ref[0, d] = out[d]
+    for w in range(W):
+        out_ref[0, w] = out[2 * w] | (out[2 * w + 1] << jnp.uint32(16))
 
 
 def _split_pairs(stacked):
-    """Digit-major [T, L, n] state tensor -> lane-tiled lo/hi
-    [T, L, R, LANE] over the pair index (pairs are adjacent elements: fix
+    """Packed digit-major [T, W, n] state tensor -> lane-tiled lo/hi
+    [T, W, R, LANE] over the pair index (pairs are adjacent elements: fix
     the first variable, multilinear.rs:599-618).  Every op here reshapes or
     strides the MINOR axis only — a transpose at this rank materializes a
-    temp whose tile layout pads the 16-wide digit axis onto the 128-lane
-    tile dim (8x HBM, the k=21 OOM)."""
-    t, _, n = stacked.shape
+    temp whose tile layout pads the word axis onto the 128-lane tile dim
+    (8x HBM, the k=21 OOM)."""
+    t, w_, n = stacked.shape
     size = n // 2
     r = size // LANE
-    grid = stacked.reshape(t, L, size, 2)
-    lo = grid[..., 0].reshape(t, L, r, LANE)
-    hi = grid[..., 1].reshape(t, L, r, LANE)
+    grid = stacked.reshape(t, w_, size, 2)
+    lo = grid[..., 0].reshape(t, w_, r, LANE)
+    hi = grid[..., 1].reshape(t, w_, r, LANE)
     return lo, hi
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _round_evals_jit(spec, expr, keys, degree, use_identity,
                      stacked, idc, off, step):
-    """Digit-major [T, L, n] state -> [degree, 2L] exact u32 digit sums of
-    the round polynomial evaluations at t = 1..degree."""
+    """Packed digit-major [T, W, n] state -> [degree, 2L] exact u32 digit
+    sums of the round polynomial evaluations at t = 1..degree."""
     lo, hi = _split_pairs(stacked)
     t, _, r, _ = lo.shape
     s = min(SUBLANE, r)
@@ -189,9 +227,9 @@ def _round_evals_jit(spec, expr, keys, degree, use_identity,
         kern,
         grid=(degree, nb),
         in_specs=[
-            pl.BlockSpec((t, L, s, LANE), lambda ti, bi: (0, 0, bi, 0),
+            pl.BlockSpec((t, W, s, LANE), lambda ti, bi: (0, 0, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, L, s, LANE), lambda ti, bi: (0, 0, bi, 0),
+            pl.BlockSpec((t, W, s, LANE), lambda ti, bi: (0, 0, bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -206,7 +244,7 @@ def _round_evals_jit(spec, expr, keys, degree, use_identity,
 
 @functools.partial(jax.jit, static_argnums=0)
 def _fold_tables_jit(spec, stacked, challenge_digits):
-    """Digit-major [T, L, n] state -> [T, L, n/2] folded with
+    """Packed digit-major [T, W, n] state -> [T, W, n/2] folded with
     fix_var(challenge)."""
     lo, hi = _split_pairs(stacked)
     t, _, r, _ = lo.shape
@@ -216,19 +254,19 @@ def _fold_tables_jit(spec, stacked, challenge_digits):
         functools.partial(_fold_kernel, spec),
         grid=(t, nb),
         in_specs=[
-            pl.BlockSpec((1, L, s, LANE), lambda ti, bi: (ti, 0, bi, 0),
+            pl.BlockSpec((1, W, s, LANE), lambda ti, bi: (ti, 0, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, s, LANE), lambda ti, bi: (ti, 0, bi, 0),
+            pl.BlockSpec((1, W, s, LANE), lambda ti, bi: (ti, 0, bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, L, s, LANE),
+        out_specs=pl.BlockSpec((1, W, s, LANE),
                                lambda ti, bi: (ti, 0, bi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, L, r, LANE), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((t, W, r, LANE), jnp.uint32),
         interpret=interpret_mode(),
     )(lo, hi, challenge_digits)
-    return out.reshape(t, L, r * LANE)
+    return out.reshape(t, W, r * LANE)
 
 
 def usable(size: int) -> bool:
@@ -253,7 +291,7 @@ def usable(size: int) -> bool:
 def _round_evals_canon_jit(spec, expr, keys, degree, use_identity,
                            stacked, idc, off_mont, stp):
     """Round kernel + device digit-sum reduction in one program:
-    digit-major [T, L, n] state -> [degree, L] canonical round-poly values
+    packed digit-major [T, W, n] state -> [degree, L] canonical values
     at t=1..degree.  `off_mont` is the Montgomery identity offset carried
     on device (the device-FS driver never knows it on host)."""
     from ..piop import fiat_shamir as fs
@@ -279,8 +317,8 @@ def round_evals_canon(spec, expr, keys: Tuple, degree: int, round_: int,
 
 def round_evals(state, stacked, keys: Tuple, expr, degree: int) -> List[int]:
     """Round polynomial evaluations at t=1..degree as canonical ints.
-    `stacked` is the digit-major [T, L, n] state tensor, rows ordered by
-    `keys`."""
+    `stacked` is the PACKED digit-major [T, W, n] state tensor, rows
+    ordered by `keys`."""
     from ..piop import fiat_shamir as fs
 
     spec = state.spec
@@ -311,7 +349,7 @@ def _used_leaves(expr):
 
 
 def fold_tables(spec: FieldSpec, stacked, challenge):
-    """fix_var over the whole digit-major [T, L, n] state in one Pallas
-    program; returns the halved [T, L, n/2] state."""
+    """fix_var over the whole packed digit-major [T, W, n] state in one
+    Pallas program; returns the halved [T, W, n/2] state."""
     ch = jnp.asarray(int_to_digits(spec.to_mont(int(challenge) % spec.p)))
     return _fold_tables_jit(spec, stacked, ch)

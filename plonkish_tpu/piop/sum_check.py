@@ -226,6 +226,7 @@ class ProverState:
 
         self.table_keys: Tuple = ()
         self.stacked = None
+        self.packed = False
         if not limb.IS_CPP:
             # jax mode keeps ONE stacked tensor as the round state instead
             # of per-table dicts: every round folds/evaluates all tables
@@ -261,6 +262,17 @@ class ProverState:
                 hyper_axis = 1
             self.poly_keys = tuple(sorted(self.polys))
             self.lagranges = self.eq_xys = self.polys = None
+            from ..pallas import sumcheck as _psc
+
+            if layout == "dm" and _psc.usable(self.size):
+                # Pallas-bound state stores TWO 16-bit digits per u32 word
+                # ([T, W=8, n]): half the HBM footprint/traffic; kernels
+                # unpack per VMEM block.  Unpacked once the rounds fall
+                # below the Pallas threshold (see next_round).
+                stacked = _psc.pack_digits_jit(stacked)
+                self.packed = True
+            else:
+                self.packed = False
             # Multi-chip: place the hypercube axis sharded over the active
             # mesh (high-order bits -> fix_var pairs stay shard-local);
             # GSPMD partitions the fused round programs and inserts the
@@ -273,6 +285,10 @@ class ProverState:
         """One table's current evaluations as a tensor-form [n, L] array
         (jax mode: a row of the stacked state tensor)."""
         row = self.stacked[self.table_keys.index(key)]
+        if self.packed:
+            from ..pallas import sumcheck as _psc
+
+            row = _psc.unpack_digits_jit(row)
         return row.T if self.layout == "dm" else row
 
     @property
@@ -290,10 +306,15 @@ class ProverState:
             from ..pallas import sumcheck as _psc
 
             if self.layout == "dm":
-                if _psc.usable(self.size):
+                if self.packed:
                     self.stacked = _psc.fold_tables(
                         spec, self.stacked, challenge
                     )
+                    if not _psc.usable(self.size // 2):
+                        # rounds below the Pallas threshold run on the XLA
+                        # tape path, which works on exact digits
+                        self.stacked = _psc.unpack_digits_jit(self.stacked)
+                        self.packed = False
                 else:
                     self.stacked = _fold_all_dm_jax(spec, self.stacked, c)
             else:
@@ -539,14 +560,15 @@ class EvaluationsProver:
 
     def evals_canon_device(
         self, spec, stacked_dm, table_keys, size: int, round_: int,
-        off_mont, degree: int,
+        off_mont, degree: int, packed: bool = False,
     ):
         """[d, L] canonical round-poly values at t=1..d, fully on device
         (no host sync — usable from the async device-FS driver).
-        `off_mont` is the Montgomery identity offset as a digit tensor."""
+        `off_mont` is the Montgomery identity offset as a digit tensor;
+        `packed` marks a [T, W, n] packed-word state (Pallas rounds)."""
         from ..pallas import sumcheck as _psc
 
-        if _psc.usable(size):
+        if packed:
             return _psc.round_evals_canon(
                 spec, self.expr, table_keys, degree, round_, off_mont,
                 stacked_dm,
@@ -600,7 +622,7 @@ class EvaluationsProver:
         )  # np in cpp mode, jnp in jax mode — normalize to a device array
         canon = self.evals_canon_device(
             spec, stacked_dm, table_keys, state.size, state.round,
-            off_mont, d,
+            off_mont, d, packed=state.packed,
         )
         vals = np.asarray(canon)
         evals = [Fp.zero(spec)] * (d + 1)
@@ -988,10 +1010,12 @@ class ClassicSumCheck:
         )
 
         msgs, chs = [], []
+        packed = state.packed
         for round_ in range(num_vars):
             size = 1 << (num_vars - round_ - 1)
             evals = prover.evals_canon_device(
-                spec, stacked, table_keys, size, round_, off_mont, d
+                spec, stacked, table_keys, size, round_, off_mont, d,
+                packed=packed,
             )
             step_mont = jnp.asarray(
                 int_to_digits(spec.to_mont((1 << round_) % spec.p))
@@ -1001,8 +1025,11 @@ class ClassicSumCheck:
                 spec, d, sponge, evals, sum_mont, off_mont,
                 w_mont, pts_mont, step_mont,
             )
-            if _psc.usable(size):
+            if packed:
                 stacked = _psc._fold_tables_jit(spec, stacked, ch_mont)
+                if not _psc.usable(size // 2):
+                    stacked = _psc.unpack_digits_jit(stacked)
+                    packed = False
             else:
                 stacked = _fold_all_dm_jax(spec, stacked, ch_mont)
             msgs.append(msg_canon)
@@ -1037,6 +1064,7 @@ class ClassicSumCheck:
             )
 
         state.stacked = stacked
+        state.packed = packed
         state.round = num_vars
         return challenges, state.into_evals()
 

@@ -77,7 +77,9 @@ def check_sumcheck(size=1 << 13):
         spec=SPEC, round=round_, identity_offset=Fp(offset, SPEC)
     )
     keys = tuple(sorted(tables))
-    stacked = jnp.stack([tables[k].T for k in keys], axis=0)  # [T, L, n]
+    stacked = psc.pack_digits(
+        jnp.stack([tables[k].T for k in keys], axis=0)
+    )  # packed [T, W, n]
     t0 = time.time()
     got = psc.round_evals(state, stacked, keys, expr, degree)
     print(f"round_evals cold: {time.time() - t0:.1f}s")
@@ -123,7 +125,9 @@ def check_sumcheck(size=1 << 13):
     print("sumcheck round_evals: MATCH")
 
     ch = Fp(RNG.randrange(SPEC.p), SPEC)
-    folded = psc.fold_tables(SPEC, stacked, ch)  # [T, L, size]
+    folded = psc.unpack_digits_jit(
+        psc.fold_tables(SPEC, stacked, ch)
+    )  # [T, L, size]
     c = limb.const(SPEC, int(ch))
     for i, k in enumerate(keys):
         ref = limb._fold_pairs_jax(

@@ -147,3 +147,19 @@ def test_round_message_program():
     assert fs.digits_to_int(ch_canon) == int(ch_host)
     assert SPEC.from_mont(fs.digits_to_int(next_sum)) == int(want_next)
     assert SPEC.from_mont(fs.digits_to_int(next_off)) == int(want_off)
+
+
+def test_pack_unpack_digits_roundtrip():
+    """Packed sum-check state words (pallas/sumcheck.py) must round-trip
+    exact digits — runs here because test_pallas.py is hardware-gated."""
+    from plonkish_tpu.pallas import sumcheck as psc
+
+    rows = np.array(
+        [[RNG.randrange(1 << 16) for _ in range(64)] for _ in range(limb.L)],
+        dtype=np.uint32,
+    )
+    dm = jnp.stack([jnp.asarray(rows), jnp.asarray(rows) ^ jnp.uint32(7)])
+    packed = psc.pack_digits(dm)
+    assert packed.shape == (2, psc.W, 64)
+    assert np.array_equal(np.asarray(psc.unpack_digits(packed)),
+                          np.asarray(dm))

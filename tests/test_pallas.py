@@ -130,20 +130,25 @@ def test_pallas_round_evals_and_fold():
         spec=SPEC, round=round_, identity_offset=Fp(offset, SPEC)
     )
     keys = tuple(sorted(tables))
-    stacked = jnp.stack([tables[k].T for k in keys], axis=0)  # [T, L, n]
+    stacked = psc.pack_digits(
+        jnp.stack([tables[k].T for k in keys], axis=0)
+    )  # packed [T, W, n]
     got = psc.round_evals(state, stacked, keys, expr, degree)
     want = _host_round_evals(tables, expr, degree, round_, offset, size)
     assert got == want
 
     # fold: new = lo + c*(hi-lo), bit-exact vs the limb fold
     ch = Fp(RNG.randrange(SPEC.p), SPEC)
-    folded = psc.fold_tables(SPEC, stacked, ch)  # [T, L, n/2]
+    folded = psc.unpack_digits(
+        psc.fold_tables(SPEC, stacked, ch)  # packed [T, W, n/2]
+    )
     c = limb.const(SPEC, int(ch))
     for i, k in enumerate(keys):
         ref = limb._fold_pairs_jax(
             SPEC, tables[k], jnp.asarray(np.asarray(c))
         )
         assert np.array_equal(np.asarray(folded[i]).T, np.asarray(ref)), k
+
 
 
 def test_pallas_msm_bucket_kernel():
