@@ -18,6 +18,12 @@ TPU design notes
   the same t-stepping trick appears as `hi + (t-1)*step` tensor updates.)
 - Rotated queries are materialized once at round 0 via a BH `rotation_map`
   gather (classic.rs:104-129 does the same materialization).
+- Lagrange leaves stay DENSE one-hot tables (deliberate divergence from the
+  reference's sparse split, eval.rs:357-396): a folded sparse L_i is
+  scalar·one_hot(i >> r), which on CPU saves a table walk, but on TPU would
+  add per-round single-element gathers and a second expression tape for the
+  sparse factors while saving only ~2 of ~25-35 dense rows of HBM traffic —
+  uniform dense streams beat divergent sparse handling at that ratio.
 - The per-round transcript squeeze is the protocol-forced host sync point:
   d+1 field elements device->host per round, 32 bytes host->device back.
 - Sharding: the hypercube axis is shardable on high-order index bits; fix_var

@@ -60,13 +60,32 @@ SCRIPT = textwrap.dedent(
         from plonkish_tpu.pcs.kzg import MultilinearKzg
 
         proof = roundtrip(MultilinearKzg(), K)
+    if GOLDEN:
+        import pathlib
+
+        want = pathlib.Path(GOLDEN).read_bytes()
+        assert proof == want, (
+            "jax-mode proof bytes diverge from the cpp-generated golden "
+            f"fixture ({len(proof)}B vs {len(want)}B)"
+        )
     print("OK", len(proof))
     """
 )
 
+_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
-@pytest.mark.parametrize("pcs,k", [("brakedown", 8), ("kzg", 6)])
-def test_jax_mode_hyperplonk_roundtrip(pcs, k):
+# the kzg k=5 run doubles as a cross-backend transcript check: same seeds
+# as tests/test_golden_proofs.py, so the jax prover must reproduce the
+# cpp-generated fixture byte-for-byte
+@pytest.mark.parametrize(
+    "pcs,k,golden",
+    [
+        ("brakedown", 8, None),
+        ("kzg", 6, None),
+        ("kzg", 5, os.path.join(_GOLDEN_DIR, "hyperplonk_kzg_k5.bin")),
+    ],
+)
+def test_jax_mode_hyperplonk_roundtrip(pcs, k, golden):
     env = dict(os.environ)
     env.update(
         PLONKISH_TPU_BACKEND="jax",
@@ -77,7 +96,10 @@ def test_jax_mode_hyperplonk_roundtrip(pcs, k):
     # the subprocess must not inherit the 8-virtual-device flag requirement;
     # keep XLA_FLAGS as-is (harmless) but pin the platform to cpu.
     proc = subprocess.run(
-        [sys.executable, "-c", f"PCS={pcs!r}; K={k}\n" + SCRIPT],
+        [
+            sys.executable, "-c",
+            f"PCS={pcs!r}; K={k}; GOLDEN={golden!r}\n" + SCRIPT,
+        ],
         env=env,
         capture_output=True,
         text=True,
