@@ -121,11 +121,49 @@ def _unpack_rows(ref, ki):
     return out
 
 
-def _round_kernel(spec, expr, keys, num_blocks, use_identity,
+@functools.lru_cache(maxsize=32)
+def bitrev_perm(m: int) -> np.ndarray:
+    """rev[s] = m-bit bit-reversal of s.  The Pallas state stores the
+    hypercube BIT-REVERSED: fixing the first logical variable then pairs
+    row s with row s + size — the contiguous halves — so the round/fold
+    kernels address lo/hi as two index-mapped views of ONE array instead
+    of materializing strided lo/hi copies (a full extra state read+write
+    per round, and the peak-memory blocker one k below the HBM limit)."""
+    s = np.arange(1 << m, dtype=np.int64)
+    rev = np.zeros_like(s)
+    for b in range(m):
+        rev |= ((s >> b) & 1) << (m - 1 - b)
+    return rev
+
+
+def _bitrev_block(v, m: int):
+    """In-kernel m-bit reversal of an int32 block (identity-leaf logical
+    index from the bit-reversed storage index)."""
+    x = v.astype(jnp.uint32)
+    x = ((x & jnp.uint32(0x55555555)) << 1) | (
+        (x >> 1) & jnp.uint32(0x55555555)
+    )
+    x = ((x & jnp.uint32(0x33333333)) << 2) | (
+        (x >> 2) & jnp.uint32(0x33333333)
+    )
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | (
+        (x >> 4) & jnp.uint32(0x0F0F0F0F)
+    )
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | (
+        (x >> 8) & jnp.uint32(0x00FF00FF)
+    )
+    x = (x << 16) | (x >> 16)
+    return x >> jnp.uint32(32 - m)
+
+
+def _round_kernel(spec, expr, keys, num_blocks, use_identity, m,
                   lo_ref, hi_ref, idc_ref, off_ref, step_ref,
                   out_ref, acc_ref):
     """Grid (d, num_blocks): evaluate the round polynomial at t = 1 + t_idx
-    over one block and accumulate per-lane digit sums."""
+    over one block and accumulate per-lane digit sums.  lo/hi are two
+    half-offset views of the SAME bit-reversed state array; `m` = log2 of
+    the pair count (for the identity leaf's storage->logical index
+    reversal)."""
     t_idx = pl.program_id(0)
     bi = pl.program_id(1)
 
@@ -150,14 +188,17 @@ def _round_kernel(spec, expr, keys, num_blocks, use_identity,
     if use_identity:
         # identity value at (t, b) = off + (t-1)*2^round + b*2^(round+1)
         # with off = mont(offset + 2^round); C = 2^(round+1)*R^2 folds the
-        # scaling into one Montgomery multiply of b's raw digits.
+        # scaling into one Montgomery multiply of b's raw digits.  The
+        # storage index s is bit-reversed, so b = bitrev_m(s).
         shape = (lo_ref.shape[2], LANE)
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        b = bi * (lo_ref.shape[2] * LANE) + row * LANE + col
+        b = _bitrev_block(
+            bi * (lo_ref.shape[2] * LANE) + row * LANE + col, m
+        )
         bd = [
-            (b & 0xFFFF).astype(jnp.uint32),
-            (b >> 16).astype(jnp.uint32),
+            b & jnp.uint32(0xFFFF),
+            b >> jnp.uint32(16),
         ] + [jnp.zeros(shape, jnp.uint32)] * (L - 2)
         cd = [jnp.broadcast_to(idc_ref[d], shape) for d in range(L)]
         od = [jnp.broadcast_to(off_ref[d], shape) for d in range(L)]
@@ -195,33 +236,33 @@ def _fold_kernel(spec, lo_ref, hi_ref, ch_ref, out_ref):
         out_ref[0, w] = out[2 * w] | (out[2 * w + 1] << jnp.uint32(16))
 
 
-def _split_pairs(stacked):
-    """Packed digit-major [T, W, n] state tensor -> lane-tiled lo/hi
-    [T, W, R, LANE] over the pair index (pairs are adjacent elements: fix
-    the first variable, multilinear.rs:599-618).  Every op here reshapes or
-    strides the MINOR axis only — a transpose at this rank materializes a
-    temp whose tile layout pads the word axis onto the 128-lane tile dim
-    (8x HBM, the k=21 OOM)."""
+def _half_view(stacked):
+    """Packed BIT-REVERSED [T, W, n] state -> ([T, W, 2R, LANE] lane-tiled
+    view, R, s, nb).  Pairs under fix_var of the first logical variable
+    are rows s and s + size of the bit-reversed storage — the contiguous
+    halves — so lo/hi are the same array read through two block index
+    maps offset by nb blocks: NO strided lo/hi copies (a full extra state
+    read+write per round otherwise, and the peak-memory blocker one k
+    below the HBM limit)."""
     t, w_, n = stacked.shape
     size = n // 2
     r = size // LANE
-    grid = stacked.reshape(t, w_, size, 2)
-    lo = grid[..., 0].reshape(t, w_, r, LANE)
-    hi = grid[..., 1].reshape(t, w_, r, LANE)
-    return lo, hi
+    s = min(SUBLANE, r)
+    nb = r // s
+    view = stacked.reshape(t, w_, n // LANE, LANE)
+    return view, r, s, nb
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _round_evals_jit(spec, expr, keys, degree, use_identity,
                      stacked, idc, off, step):
-    """Packed digit-major [T, W, n] state -> [degree, 2L] exact u32 digit
+    """Packed bit-reversed [T, W, n] state -> [degree, 2L] exact u32 digit
     sums of the round polynomial evaluations at t = 1..degree."""
-    lo, hi = _split_pairs(stacked)
-    t, _, r, _ = lo.shape
-    s = min(SUBLANE, r)
-    nb = r // s
+    view, r, s, nb = _half_view(stacked)
+    t = view.shape[0]
+    m = (r * LANE).bit_length() - 1  # log2(pair count)
     kern = functools.partial(
-        _round_kernel, spec, expr, keys, nb, use_identity
+        _round_kernel, spec, expr, keys, nb, use_identity, m
     )
     return pl.pallas_call(
         kern,
@@ -229,7 +270,8 @@ def _round_evals_jit(spec, expr, keys, degree, use_identity,
         in_specs=[
             pl.BlockSpec((t, W, s, LANE), lambda ti, bi: (0, 0, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, W, s, LANE), lambda ti, bi: (0, 0, bi, 0),
+            pl.BlockSpec((t, W, s, LANE),
+                         lambda ti, bi, _nb=nb: (0, 0, bi + _nb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -239,24 +281,25 @@ def _round_evals_jit(spec, expr, keys, degree, use_identity,
         out_shape=jax.ShapeDtypeStruct((degree, 2 * L), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((L, s, LANE), jnp.uint32)],
         interpret=interpret_mode(),
-    )(lo, hi, idc, off, step)
+    )(view, view, idc, off, step)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def _fold_tables_jit(spec, stacked, challenge_digits):
-    """Packed digit-major [T, W, n] state -> [T, W, n/2] folded with
-    fix_var(challenge)."""
-    lo, hi = _split_pairs(stacked)
-    t, _, r, _ = lo.shape
-    s = min(SUBLANE, r)
-    nb = r // s
+    """Packed bit-reversed [T, W, n] state -> [T, W, n/2] folded with
+    fix_var(challenge); the output keeps bit-reversed order over the
+    remaining variables (dropping the top storage bit IS dropping the
+    first logical variable)."""
+    view, r, s, nb = _half_view(stacked)
+    t = view.shape[0]
     out = pl.pallas_call(
         functools.partial(_fold_kernel, spec),
         grid=(t, nb),
         in_specs=[
             pl.BlockSpec((1, W, s, LANE), lambda ti, bi: (ti, 0, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, s, LANE), lambda ti, bi: (ti, 0, bi, 0),
+            pl.BlockSpec((1, W, s, LANE),
+                         lambda ti, bi, _nb=nb: (ti, 0, bi + _nb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -265,7 +308,7 @@ def _fold_tables_jit(spec, stacked, challenge_digits):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, W, r, LANE), jnp.uint32),
         interpret=interpret_mode(),
-    )(lo, hi, challenge_digits)
+    )(view, view, challenge_digits)
     return out.reshape(t, W, r * LANE)
 
 

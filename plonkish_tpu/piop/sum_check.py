@@ -271,11 +271,16 @@ class ProverState:
             from ..pallas import sumcheck as _psc
 
             if layout == "dm" and _psc.usable(self.size):
-                # Pallas-bound state stores TWO 16-bit digits per u32 word
-                # ([T, W=8, n]): half the HBM footprint/traffic; kernels
-                # unpack per VMEM block.  Unpacked once the rounds fall
-                # below the Pallas threshold (see next_round).
+                # Pallas-bound state: TWO 16-bit digits per u32 word
+                # ([T, W=8, n], half the HBM footprint/traffic) in
+                # BIT-REVERSED hypercube order (fix_var pairs become the
+                # contiguous halves, so the kernels read lo/hi as two
+                # index-mapped views of one array — no strided pair-split
+                # copies).  Reverts to exact digits in natural order once
+                # the rounds fall below the Pallas threshold (next_round).
                 stacked = _psc.pack_digits_jit(stacked)
+                rev = jnp.asarray(_psc.bitrev_perm(num_vars))
+                stacked = stacked[:, :, rev]
                 self.packed = True
             else:
                 self.packed = False
@@ -295,6 +300,9 @@ class ProverState:
             from ..pallas import sumcheck as _psc
 
             row = _psc.unpack_digits_jit(row)
+            m = row.shape[-1].bit_length() - 1
+            if m:
+                row = row[:, jnp.asarray(_psc.bitrev_perm(m))]
         return row.T if self.layout == "dm" else row
 
     @property
@@ -318,8 +326,8 @@ class ProverState:
                     )
                     if not _psc.usable(self.size // 2):
                         # rounds below the Pallas threshold run on the XLA
-                        # tape path, which works on exact digits
-                        self.stacked = _psc.unpack_digits_jit(self.stacked)
+                        # tape path: exact digits, natural order
+                        self.stacked = _unpack_natural(spec, self.stacked)
                         self.packed = False
                 else:
                     self.stacked = _fold_all_dm_jax(spec, self.stacked, c)
@@ -348,6 +356,19 @@ class ProverState:
             )
         vals = limb.to_ints(limb.from_mont(self.spec, stack))
         return [Fp(int(v), self.spec) for v in vals]
+
+
+def _unpack_natural(spec, stacked):
+    """Packed bit-reversed [T, W, n] Pallas state -> exact-digit [T, L, n]
+    in natural hypercube order (the XLA tape path's format).  Runs once per
+    prove, at the Pallas->tape threshold crossing, on a tiny state."""
+    from ..pallas import sumcheck as _psc
+
+    out = _psc.unpack_digits_jit(stacked)
+    m = out.shape[-1].bit_length() - 1
+    if m:
+        out = out[:, :, jnp.asarray(_psc.bitrev_perm(m))]
+    return out
 
 
 import functools as _functools
@@ -1034,7 +1055,7 @@ class ClassicSumCheck:
             if packed:
                 stacked = _psc._fold_tables_jit(spec, stacked, ch_mont)
                 if not _psc.usable(size // 2):
-                    stacked = _psc.unpack_digits_jit(stacked)
+                    stacked = _unpack_natural(spec, stacked)
                     packed = False
             else:
                 stacked = _fold_all_dm_jax(spec, stacked, ch_mont)

@@ -77,9 +77,11 @@ def check_sumcheck(size=1 << 13):
         spec=SPEC, round=round_, identity_offset=Fp(offset, SPEC)
     )
     keys = tuple(sorted(tables))
+    m = (2 * size).bit_length() - 1
+    rev = jnp.asarray(psc.bitrev_perm(m))
     stacked = psc.pack_digits(
         jnp.stack([tables[k].T for k in keys], axis=0)
-    )  # packed [T, W, n]
+    )[:, :, rev]  # packed bit-reversed [T, W, n]
     t0 = time.time()
     got = psc.round_evals(state, stacked, keys, expr, degree)
     print(f"round_evals cold: {time.time() - t0:.1f}s")
@@ -127,7 +129,7 @@ def check_sumcheck(size=1 << 13):
     ch = Fp(RNG.randrange(SPEC.p), SPEC)
     folded = psc.unpack_digits_jit(
         psc.fold_tables(SPEC, stacked, ch)
-    )  # [T, L, size]
+    )[:, :, jnp.asarray(psc.bitrev_perm(m - 1))]  # [T, L, size] natural
     c = limb.const(SPEC, int(ch))
     for i, k in enumerate(keys):
         ref = limb._fold_pairs_jax(

@@ -130,18 +130,21 @@ def test_pallas_round_evals_and_fold():
         spec=SPEC, round=round_, identity_offset=Fp(offset, SPEC)
     )
     keys = tuple(sorted(tables))
+    m = n.bit_length() - 1
+    rev = jnp.asarray(psc.bitrev_perm(m))
     stacked = psc.pack_digits(
         jnp.stack([tables[k].T for k in keys], axis=0)
-    )  # packed [T, W, n]
+    )[:, :, rev]  # packed bit-reversed [T, W, n]
     got = psc.round_evals(state, stacked, keys, expr, degree)
     want = _host_round_evals(tables, expr, degree, round_, offset, size)
     assert got == want
 
-    # fold: new = lo + c*(hi-lo), bit-exact vs the limb fold
+    # fold: new = lo + c*(hi-lo), bit-exact vs the limb fold (the packed
+    # state stays bit-reversed over the remaining m-1 bits)
     ch = Fp(RNG.randrange(SPEC.p), SPEC)
     folded = psc.unpack_digits(
         psc.fold_tables(SPEC, stacked, ch)  # packed [T, W, n/2]
-    )
+    )[:, :, jnp.asarray(psc.bitrev_perm(m - 1))]
     c = limb.const(SPEC, int(ch))
     for i, k in enumerate(keys):
         ref = limb._fold_pairs_jax(
