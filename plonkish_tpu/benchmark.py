@@ -205,7 +205,7 @@ def main(argv=None) -> None:
             y = [Fp(rng.randrange(spec.p), spec) for _ in range(k)]
             samples = args.samples or _sample_size(k)
             times = []
-            for _ in range(samples + 1):  # first sample warms the compiles
+            for sample in range(samples + 1):  # first sample warms compiles
                 tr = Keccak256Transcript(spec)
                 t0 = time.perf_counter()
                 ClassicSumCheck.evaluations().prove(
@@ -214,6 +214,15 @@ def main(argv=None) -> None:
                     Fp.zero(spec), tr,
                 )
                 times.append(time.perf_counter() - t0)
+                if sample == 0:
+                    # self-check: the message chain must verify (a kernel
+                    # regression fails the bench loudly, not silently)
+                    ClassicSumCheck.evaluations().verify(
+                        spec, k, expression.degree(), Fp.zero(spec),
+                        Keccak256Transcript.from_proof(
+                            spec, tr.into_proof()
+                        ),
+                    )
             cold_ms = times[0] * 1e3
             times = times[1:]
             avg_ms = sum(times) / len(times) * 1e3
