@@ -53,7 +53,7 @@ def test_vanilla_plonk_with_lookup(num_vars):
     )
 
 
-@pytest.mark.parametrize("num_vars", [12, 14])
+@pytest.mark.parametrize("num_vars", [12, 14, 16])
 def test_vanilla_plonk_with_lookup_large_kzg(num_vars):
     """Large-k coverage past the chunking/fold thresholds (the reference
     harness runs k=2..16, backend/hyperplonk.rs:398-426; KZG here because

@@ -89,7 +89,7 @@ def test_brakedown_commit_open_verify(num_vars):
     )
 
 
-@pytest.mark.parametrize("num_vars", [3, 5, 12])
+@pytest.mark.parametrize("num_vars", [3, 5, 12, 16])
 def test_kzg_commit_open_verify(num_vars):
     run_commit_open_verify(MultilinearKzg(), num_vars)
 
@@ -183,7 +183,7 @@ def test_univariate_kzg_batch():
     pcs.batch_verify(vp, comms, points, evals, r)
 
 
-@pytest.mark.parametrize("num_vars", [2, 3, 4, 10])
+@pytest.mark.parametrize("num_vars", [2, 3, 4, 10, 14])
 def test_gemini_commit_open_verify(num_vars):
     from plonkish_tpu.pcs.gemini import Gemini
 
@@ -209,7 +209,7 @@ def test_zeromorph_batch():
     run_batch_commit_open_verify(Zeromorph(), 3)
 
 
-@pytest.mark.parametrize("num_vars", [2, 4, 10])
+@pytest.mark.parametrize("num_vars", [2, 4, 10, 14])
 def test_ipa_commit_open_verify(num_vars):
     from plonkish_tpu.pcs.ipa import MultilinearIpa
 
@@ -222,7 +222,7 @@ def test_ipa_batch():
     run_batch_commit_open_verify(MultilinearIpa(), 3)
 
 
-@pytest.mark.parametrize("num_vars", [5, 6, 10])
+@pytest.mark.parametrize("num_vars", [5, 6, 10, 14])
 def test_hyrax_commit_open_verify(num_vars):
     from plonkish_tpu.pcs.hyrax import MultilinearHyrax
 
