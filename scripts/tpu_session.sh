@@ -26,10 +26,10 @@ for st in $stages; do
       run python -u scripts/profile_zero_check.py 20
       ;;
     zero)
-      run python -m plonkish_tpu.benchmark --system zero_check --backend jax --k 18..22
+      run python -m plonkish_tpu.benchmark --system zero_check --backend jax --k 18..23
       ;;
     hyper)
-      run python -m plonkish_tpu.benchmark --system hyperplonk --backend jax --k 20..22 --breakdown
+      run python -m plonkish_tpu.benchmark --system hyperplonk --backend jax --k 20..23 --breakdown
       ;;
     msm)
       run python -u bench.py --msm-log2 18 --budget 1800
