@@ -343,7 +343,13 @@ def _round_evals_canon_jit(spec, expr, keys, degree, use_identity,
     sums = _round_evals_jit(
         spec, expr, keys, degree, use_identity, stacked, idc, off, stp
     )
-    return fs.digit_sums_to_canonical(spec, sums)
+    # the kernel flush INTERLEAVES digit d's lo/hi halves at out[2d] (weight
+    # 2^16d) and out[2d+1] (weight 2^16(d+1)); de-interleave to positional
+    # digit sums before the reduction (sums < 2^27, no u32 overflow)
+    lo, hi = sums[:, 0::2], sums[:, 1::2]
+    pos = jnp.pad(lo, ((0, 0), (0, L)))
+    pos = pos.at[:, 1: L + 1].add(hi)
+    return fs.digit_sums_to_canonical(spec, pos)
 
 
 def round_evals_canon(spec, expr, keys: Tuple, degree: int, round_: int,

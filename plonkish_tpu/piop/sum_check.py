@@ -824,26 +824,31 @@ class CoefficientsProver:
             "CoefficientsProver supports degree-2 eq_xy * poly expressions"
         )
 
-    def _term_tables(self, state):
-        size = state.size
-        eqs, ps, scalars = [], [], []
+    def term_triples(self):
+        """Flattened terms as (eq_idx, poly_idx, scalar int) triples —
+        the eq_xy/poly classification shared by the eager round and the
+        device-FS driver (either product order; coeff.rs:157-167)."""
+        out = []
         for scalar, prods in self.flattened:
             lhs, rhs = prods
-            # identify the eq_xy and the poly (either order; coeff.rs:157-167)
             if isinstance(lhs, CommonPoly):
-                eq_idx = lhs.poly.idx
-                query = rhs.query
+                eq_idx, query = lhs.poly.idx, rhs.query
             else:
-                eq_idx = rhs.poly.idx
-                query = lhs.query
+                eq_idx, query = rhs.poly.idx, lhs.query
             assert query.rotation.value == 0
+            out.append((eq_idx, query.poly, int(scalar)))
+        return out
+
+    def _term_tables(self, state):
+        eqs, ps, scalars = [], [], []
+        for eq_idx, poly_idx, scalar in self.term_triples():
             if limb.IS_CPP:
                 eqs.append(state.eq_xys[eq_idx])
-                ps.append(state.polys[(query.poly, 0)])
+                ps.append(state.polys[(poly_idx, 0)])
             else:
                 eqs.append(state.table(("eq_xy", eq_idx)))
-                ps.append(state.table(("poly", query.poly, 0)))
-            scalars.append(int(scalar))
+                ps.append(state.table(("poly", poly_idx, 0)))
+            scalars.append(scalar)
         return eqs, ps, scalars
 
     def prove_round(self, state: ProverState) -> Coefficients:
@@ -1063,14 +1068,34 @@ class ClassicSumCheck:
             chs.append(ch_canon)
 
         # ONE device->host transfer for everything the transcript needs
-        msgs_np = np.asarray(jnp.stack(msgs))  # [k, d+1, L]
+        challenges = self._replay_device_fs(
+            spec, num_vars, state, aux, transcript, Evaluations, msgs, chs
+        )
+        state.stacked = stacked
+        state.packed = packed
+        state.round = num_vars
+        return challenges, state.into_evals()
+
+    @staticmethod
+    def _replay_device_fs(
+        spec, num_vars, state, aux, transcript, message_cls, msgs, chs,
+    ) -> List[Fp]:
+        """Replay device-produced round messages into the host transcript
+        (ONE device->host transfer), cross-checking every challenge against
+        the device sponge's — a divergence raises instead of producing an
+        unverifiable proof."""
+        from .. import config
+        from . import fiat_shamir as fs
+
+        msgs_np = np.asarray(jnp.stack(msgs))  # [k, num_elems, L]
         chs_np = np.asarray(jnp.stack(chs))  # [k, L]
+        num_elems = msgs_np.shape[1]
 
         challenges: List[Fp] = []
         for round_ in range(num_vars):
-            msg = Evaluations(
+            msg = message_cls(
                 [Fp(fs.digits_to_int(msgs_np[round_, i]), spec)
-                 for i in range(d + 1)]
+                 for i in range(num_elems)]
             )
             if config.sanity_checks():
                 assert msg.sum() == state.sum, (
@@ -1089,11 +1114,7 @@ class ClassicSumCheck:
             state.identity_offset = (
                 state.identity_offset + challenge * (1 << round_)
             )
-
-        state.stacked = stacked
-        state.packed = packed
-        state.round = num_vars
-        return challenges, state.into_evals()
+        return challenges
 
     def _prove_device_fs_coeff(
         self, spec, num_vars, state, prover, aux, transcript,
@@ -1108,16 +1129,10 @@ class ClassicSumCheck:
         # static row selection: each flattened term is eq_xy * poly
         row_of = {k: i for i, k in enumerate(state.table_keys)}
         eq_rows, p_rows, scalars = [], [], []
-        for scalar, prods in prover.flattened:
-            lhs, rhs = prods
-            if isinstance(lhs, CommonPoly):
-                eq_idx, query = lhs.poly.idx, rhs.query
-            else:
-                eq_idx, query = rhs.poly.idx, lhs.query
-            assert query.rotation.value == 0
+        for eq_idx, poly_idx, scalar in prover.term_triples():
             eq_rows.append(row_of[("eq_xy", eq_idx)])
-            p_rows.append(row_of[("poly", query.poly, 0)])
-            scalars.append(int(scalar))
+            p_rows.append(row_of[("poly", poly_idx, 0)])
+            scalars.append(scalar)
         eq_rows = jnp.asarray(np.asarray(eq_rows, dtype=np.int32))
         p_rows = jnp.asarray(np.asarray(p_rows, dtype=np.int32))
         sc = jnp.asarray(
@@ -1153,33 +1168,9 @@ class ClassicSumCheck:
             msgs.append(msg_canon)
             chs.append(ch_canon)
 
-        msgs_np = np.asarray(jnp.stack(msgs))  # [k, 3, L]
-        chs_np = np.asarray(jnp.stack(chs))
-
-        challenges: List[Fp] = []
-        for round_ in range(num_vars):
-            msg = Coefficients(
-                [Fp(fs.digits_to_int(msgs_np[round_, i]), spec)
-                 for i in range(3)]
-            )
-            if config.sanity_checks():
-                assert msg.sum() == state.sum, (
-                    f"sum-check round {round_}: message sum "
-                    f"{msg.sum()} != claimed {state.sum}"
-                )
-            msg.write(transcript)
-            challenge = transcript.squeeze_challenge()
-            if int(challenge) != fs.digits_to_int(chs_np[round_]):
-                raise ValueError(
-                    f"device Fiat-Shamir diverged from host transcript at "
-                    f"round {round_}"
-                )
-            challenges.append(challenge)
-            state.sum = msg.evaluate(aux, challenge)
-            state.identity_offset = (
-                state.identity_offset + challenge * (1 << round_)
-            )
-
+        challenges = self._replay_device_fs(
+            spec, num_vars, state, aux, transcript, Coefficients, msgs, chs
+        )
         state.stacked = stacked
         state.round = num_vars
         return challenges, state.into_evals()

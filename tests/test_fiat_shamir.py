@@ -163,3 +163,47 @@ def test_pack_unpack_digits_roundtrip():
     assert packed.shape == (2, psc.W, 64)
     assert np.array_equal(np.asarray(psc.unpack_digits(packed)),
                           np.asarray(dm))
+
+
+def test_pallas_round_evals_layout_cpu():
+    """Regression: the Pallas round kernel flushes digit sums with lo/hi
+    halves INTERLEAVED (out[2d] weight 2^16d, out[2d+1] weight 2^16(d+1));
+    round_evals_canon must de-interleave before the positional reduction.
+    A single degree-1 poly leaf keeps the interpret-mode kernel body tiny,
+    so this runs on CPU (unlike the hardware-gated tests/test_pallas.py)."""
+    import random as _random
+
+    import jax
+
+    from plonkish_tpu.pallas import sumcheck as psc
+    from plonkish_tpu.utils.expression import Polynomial, Query, Rotation
+
+    rng = _random.Random(0xABC)
+    size = 128
+    n = 2 * size
+    vals = [rng.randrange(SPEC.p) for _ in range(n)]
+    tbl = np.zeros((n, limb.L), dtype=np.uint32)
+    for i, v in enumerate(vals):
+        m_ = SPEC.to_mont(v)
+        for d in range(limb.L):
+            tbl[i, d] = (m_ >> (16 * d)) & 0xFFFF
+    m = n.bit_length() - 1
+    rev = psc.bitrev_perm(m)
+    stacked = psc.pack_digits(
+        jnp.asarray(tbl).T[None]
+    )[:, :, jnp.asarray(rev)]  # [1, W, n] packed bit-reversed
+
+    expr = Polynomial(Query(0, Rotation(0)))
+    off = jnp.asarray(
+        np.array(
+            [(SPEC.to_mont(0) >> (16 * d)) & 0xFFFF for d in range(limb.L)],
+            dtype=np.uint32,
+        )
+    )
+    canon = psc.round_evals_canon(
+        SPEC, expr, (("poly", 0, 0),), 1, 0, off, stacked
+    )
+    got = fs.digits_to_int(np.asarray(canon)[0])
+    # degree-1 message at t=1: sum of the hi element of every pair
+    want = sum(vals[2 * b + 1] for b in range(size)) % SPEC.p
+    assert got == want
