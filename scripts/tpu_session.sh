@@ -7,7 +7,7 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=${TPU_SESSION_LOG:-/tmp/tpu_session.log}
-stages=${*:-validate profile zero hyper msm bench}
+stages=${*:-validate profile zero hyper protostar msm bench}
 
 run() {
   echo "=== $* ===" | tee -a "$LOG"
@@ -30,6 +30,9 @@ for st in $stages; do
       ;;
     hyper)
       run python -m plonkish_tpu.benchmark --system hyperplonk --backend jax --k 20..23 --breakdown
+      ;;
+    protostar)
+      run python -m plonkish_tpu.benchmark --system protostar --circuit aggregation --backend jax --k 18..21
       ;;
     msm)
       run python -u bench.py --msm-log2 18 --budget 1800
