@@ -41,16 +41,40 @@ def batch_open(
     # merged_polys[point] = Σ_{evals at point} eq_xt_i · poly_i  (multilinear.rs:153-171)
     merged: List[MLPoly | None] = [None] * len(points)
     merged_scalar: List[Fp] = [Fp.one(spec)] * len(points)
-    for eval_, eq_xt_i in zip(evals, eq_xt):
-        pt = eval_.point
-        if merged[pt] is None:
-            merged[pt] = polys[eval_.poly]
-            merged_scalar[pt] = eq_xt_i
-        else:
-            if merged_scalar[pt] != 1:
-                merged[pt] = merged[pt].scale(merged_scalar[pt])
-                merged_scalar[pt] = Fp.one(spec)
-            merged[pt] = merged[pt] + polys[eval_.poly].scale(eq_xt_i)
+    if not limb.IS_CPP:
+        # one fused weighted-sum program per point: the eager loop below
+        # runs ~2 full-table device ops per evaluation (~2 network RTTs
+        # each on a tunneled TPU; a HyperPlonk batch has dozens of evals)
+        groups: dict = {}
+        for eval_, eq_xt_i in zip(evals, eq_xt):
+            groups.setdefault(eval_.point, []).append(
+                (eval_.poly, eq_xt_i)
+            )
+        for pt, items in groups.items():
+            if len(items) == 1:
+                poly_idx, s = items[0]
+                merged[pt] = polys[poly_idx]
+                merged_scalar[pt] = s
+                continue
+            merged[pt] = MLPoly(
+                spec,
+                _weighted_sum(
+                    spec,
+                    [polys[i].evals for i, _ in items],
+                    [s for _, s in items],
+                ),
+            )
+    else:
+        for eval_, eq_xt_i in zip(evals, eq_xt):
+            pt = eval_.point
+            if merged[pt] is None:
+                merged[pt] = polys[eval_.poly]
+                merged_scalar[pt] = eq_xt_i
+            else:
+                if merged_scalar[pt] != 1:
+                    merged[pt] = merged[pt].scale(merged_scalar[pt])
+                    merged_scalar[pt] = Fp.one(spec)
+                merged[pt] = merged[pt] + polys[eval_.poly].scale(eq_xt_i)
 
     active = [
         (idx, scalar, poly)
@@ -75,12 +99,50 @@ def batch_open(
 
     # g' = Σ (scalar·eq_xy_eval)·merged  (multilinear.rs:203-213)
     eq_xy_evals = [eq_xy_eval(challenges, list(p)) for p in points]
-    g_prime = None
-    for (point_idx, scalar, poly) in active:
-        term = poly.scale(scalar * eq_xy_evals[point_idx])
-        g_prime = term if g_prime is None else g_prime + term
+    if not limb.IS_CPP and len(active) > 1:
+        g_prime = MLPoly(
+            spec,
+            _weighted_sum(
+                spec,
+                [poly.evals for (_, _, poly) in active],
+                [
+                    scalar * eq_xy_evals[point_idx]
+                    for (point_idx, scalar, _) in active
+                ],
+            ),
+        )
+    else:
+        g_prime = None
+        for (point_idx, scalar, poly) in active:
+            term = poly.scale(scalar * eq_xy_evals[point_idx])
+            g_prime = term if g_prime is None else g_prime + term
 
     pcs.open(pp, g_prime, None, challenges, None, transcript)
+
+
+def _weighted_sum(spec: FieldSpec, tables, scalars):
+    """Σ scalars[i]·tables[i] over [n, L] device tables in ONE program."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..fields.spec import int_to_digits
+
+    stacked = jnp.stack(tables, axis=0)  # [M, n, L]
+    sc = jnp.asarray(
+        np.stack([int_to_digits(spec.to_mont(int(s))) for s in scalars])
+    )
+    return _weighted_sum_jit(spec, stacked, sc)
+
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnums=0)
+def _weighted_sum_jit(spec, stacked, sc):
+    terms = limb._mont_mul_jax(spec, stacked, sc[:, None, :])
+    return limb._sum_reduce_jax(spec, terms)
 
 
 def batch_verify(
