@@ -31,6 +31,25 @@ from ..poly.multilinear import MLPoly
 from ..utils.transcript import Keccak256Transcript
 from . import additive
 
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnums=0)
+def _quotient_step_jax(spec, remainder, x_digits):
+    """One multilinear-quotient step (pcs/multilinear.rs:72-107):
+    (quotient, remainder) of dividing by (X_var - x) — fused so each
+    variable costs one device dispatch instead of four."""
+    half = remainder.shape[0] // 2
+    lo, hi = remainder[:half], remainder[half:]
+    quotient = limb._sub_jax(spec, hi, lo)
+    new_rem = limb._add_jax(
+        spec, limb._mont_mul_jax(spec, quotient, x_digits), lo
+    )
+    one_ = jnp.zeros((limb.L,), jnp.uint32).at[0].set(1)
+    return new_rem, limb._mont_mul_jax(spec, quotient, one_)
+
 
 @dataclasses.dataclass
 class MultilinearKzgParams:
@@ -163,17 +182,23 @@ class MultilinearKzg:
         remainder = poly.evals
         quotient_comms: List[AffinePoint] = []  # var k-1 first
         for var in range(num_vars - 1, -1, -1):
-            half = 1 << var
-            lo, hi = remainder[:half], remainder[half:]
-            quotient = limb.sub(spec, hi, lo)
             x_i = limb.const(spec, int(point[var]))
-            remainder = limb.add(spec, limb.mont_mul(spec, quotient, x_i), lo)
-            quotient_comms.append(
-                variable_base_msm(
-                    self.curve,
-                    limb.from_mont(spec, quotient),
-                    pp.eq(var),
+            if limb.IS_CPP:
+                half = 1 << var
+                lo, hi = remainder[:half], remainder[half:]
+                quotient = limb.sub(spec, hi, lo)
+                remainder = limb.add(
+                    spec, limb.mont_mul(spec, quotient, x_i), lo
                 )
+                q_canon = limb.from_mont(spec, quotient)
+            else:
+                # one program per variable (the eager version is 4 device
+                # dispatches each — network RTTs on a tunneled TPU)
+                remainder, q_canon = _quotient_step_jax(
+                    spec, remainder, jnp.asarray(x_i)
+                )
+            quotient_comms.append(
+                variable_base_msm(self.curve, q_canon, pp.eq(var))
             )
         quotient_comms.reverse()  # write variable 0 first
         for c in quotient_comms:
