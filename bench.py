@@ -73,6 +73,9 @@ def bench_msm(log2n: int, budget: int):
     out = field_cpp.ec_msm(curve, scalars_np, pts_np.reshape(n, 3, limb.L))
     dt_host = time.perf_counter() - t0
     native_pps = n / dt_host
+    # correctness gate: a kernel regression must fail the bench loudly
+    native_pt = to_affine_host(curve, limb.xnp.asarray(out)[None])[0]
+    assert res == native_pt, "device MSM result diverges from native"
     return device_pps, native_pps
 
 
