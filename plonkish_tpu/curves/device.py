@@ -562,18 +562,23 @@ def scalar_mul_const(curve: CurveSpec, points: jnp.ndarray, k: int) -> jnp.ndarr
         from ..ops import field_cpp as _cpp
 
         return _cpp.ec_scalar_mul(curve, points, int_to_digits(k))
-    return _scalar_mul_const_jax(curve, points, k)
+    # fixed 256-bit MSB-first ladder with the bits as a TRACED input: a
+    # static exponent would bake into the program and recompile the ~256-
+    # step scan for every distinct scalar (~minutes per compile on CPU)
+    import numpy as _np
 
-
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _scalar_mul_const_jax(curve: CurveSpec, points: jnp.ndarray, k: int):
-    if k == 0:
-        return jnp.broadcast_to(identity(curve), points.shape)
-    nbits = k.bit_length()
+    nbits = curve.scalar.p.bit_length()
     bits = jnp.asarray(
-        [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
+        _np.array(
+            [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+            dtype=_np.uint32,
+        )
     )
+    return _scalar_mul_bits_jax(curve, points, bits)
 
+
+@functools.partial(jax.jit, static_argnums=0)
+def _scalar_mul_bits_jax(curve: CurveSpec, points: jnp.ndarray, bits):
     def body(acc, bit):
         acc = _pdbl_jax(curve, acc)
         added = _padd_jax(curve, acc, points)
