@@ -225,27 +225,57 @@ class MultilinearBrakedown:
         combined_rows.append((t_0, encode_row(row)))
 
         depth = (cw - 1).bit_length()
+        # read every opening first (same transcript order), then verify
+        # hashes/proximity in BATCH: the per-column loop made
+        # num_column_opening*(depth+1) serial hasher calls and a Python
+        # Fp multiply per (opening, row) — thousands of each per proof
+        openings = []
         for _ in range(code.num_column_opening):
             column = _squeeze_challenge_idx(transcript, cw)
             items = transcript.read_field_elements(vp.num_rows)
             path = [transcript.read_commitment_hash() for _ in range(depth)]
+            openings.append((column, items, path))
 
-            for coeffs, encoded in combined_rows:
-                if vp.num_rows > 1:
-                    item = Fp.zero(spec)
-                    for c, it in zip(coeffs, items):
-                        item = item + c * it
-                else:
-                    item = items[0]
-                if item != encoded[column]:
+        # proximity: combined[o] = Σ_r coeffs[r]·items[o][r], vectorized
+        items_mat = limb.to_mont(
+            spec,
+            limb.from_ints(
+                [int(v) for (_, items, _) in openings for v in items]
+            ),
+        ).reshape(len(openings), vp.num_rows, limb.L)
+        for coeffs, encoded in combined_rows:
+            if vp.num_rows > 1:
+                cvec = limb.to_mont(
+                    spec, limb.from_ints([int(c) for c in coeffs])
+                )
+                prods = limb.mont_mul(spec, items_mat, cvec[None])
+                combined = limb.sum_reduce(
+                    spec, limb.xnp.swapaxes(prods, 0, 1)
+                )  # [n_open, L]
+            else:
+                combined = items_mat[:, 0]
+            got = limb.to_ints(limb.from_mont(spec, combined))
+            for (column, _, _), item in zip(openings, got):
+                if int(item) != int(encoded[column]):
                     raise ValueError("Proximity failure")
 
-            output = _hash_many([b"".join(it.to_repr() for it in items)])[0]
-            for idx, neighbor in enumerate(path):
+        # merkle paths: batch each level's 64-byte messages
+        outputs = _hash_many(
+            [
+                b"".join(it.to_repr() for it in items)
+                for (_, items, _) in openings
+            ]
+        )
+        for idx in range(depth):
+            blobs = []
+            for (column, _, path), output in zip(openings, outputs):
+                neighbor = path[idx]
                 if (column >> idx) & 1 == 0:
-                    output = _hash_many([output + neighbor])[0]
+                    blobs.append(output + neighbor)
                 else:
-                    output = _hash_many([neighbor + output])[0]
+                    blobs.append(neighbor + output)
+            outputs = _hash_many(blobs)
+        for output in outputs:
             if output != comm.root:
                 raise ValueError("Invalid merkle tree opening")
 
