@@ -65,6 +65,28 @@ def _psum_field(spec: FieldSpec, partial: jnp.ndarray, axis: str) -> jnp.ndarray
     return limb._mont_mul_jax(spec, canon, jnp.asarray(spec.r2_digits))
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_round_step_jit(spec: FieldSpec, mesh: Mesh):
+    def step(polys_local, challenge):
+        gate = vanilla_gate_eval(spec, polys_local)  # [rows_local, L]
+        partial = limb._sum_reduce_jax(spec, gate)
+        total = _psum_field(spec, partial, "data")
+        folded = jax.vmap(
+            lambda p: limb._fold_pairs_jax(spec, p, challenge)
+        )(polys_local)
+        return total, folded
+
+    return jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(None, "data", None), P(None)),
+            out_specs=(P(None), P(None, "data", None)),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_round_step(
     spec: FieldSpec, mesh: Mesh, polys: jnp.ndarray, challenge: jnp.ndarray
 ):
@@ -76,38 +98,16 @@ def sharded_round_step(
 
     polys: [9, rows, L]; returns (round_sum [L], folded polys [9, rows/2, L]).
     This is the communication structure of the full prover: 32 bytes of
-    collective traffic per round, everything else local.
+    collective traffic per round, everything else local.  jit-compiled once
+    per (spec, mesh) — shard_map outside jit would dispatch eagerly
+    per-primitive, which is orders of magnitude slower.
     """
-
-    def step(polys_local, challenge):
-        gate = vanilla_gate_eval(spec, polys_local)  # [rows_local, L]
-        partial = limb._sum_reduce_jax(spec, gate)
-        total = _psum_field(spec, partial, "data")
-        folded = jax.vmap(
-            lambda p: limb._fold_pairs_jax(spec, p, challenge)
-        )(polys_local)
-        return total, folded
-
-    mapped = jax.shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(None, "data", None), P(None)),
-        out_specs=(P(None), P(None, "data", None)),
-        check_vma=False,
-    )
-    return mapped(polys, challenge)
+    return _sharded_round_step_jit(spec, mesh)(polys, challenge)
 
 
-def sharded_msm_windows(curve, mesh: Mesh, scalars, points,
-                        c: int, num_windows: int, chunks_per_dev: int):
-    """Data-parallel MSM across the mesh: points/scalars sharded on the
-    point axis, per-device dense bucket accumulation + weighted reduction
-    (the fused single-program kernel), then an all_gather of the tiny
-    [W, 3, L] window sums and a local complete-add fold.
-
-    Collective traffic: num_devices × W × 192 bytes total (the bucket sums),
-    riding ICI — the communication structure SURVEY §2.8 prescribes.
-    """
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_windows_jit(curve, mesh: Mesh, c: int, num_windows: int,
+                             chunks_per_dev: int):
     from ..curves.msm import _msm_windows_jit
     from ..curves.device import _jadd_wide
 
@@ -124,14 +124,29 @@ def sharded_msm_windows(curve, mesh: Mesh, scalars, points,
             )
         return jnp.transpose(acc, (2, 0, 1))
 
-    mapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P("data", None), P("data", None, None)),
-        out_specs=P(None, None, None),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("data", None), P("data", None, None)),
+            out_specs=P(None, None, None),
+            check_vma=False,
+        )
     )
-    return mapped(scalars, points)
+
+
+def sharded_msm_windows(curve, mesh: Mesh, scalars, points,
+                        c: int, num_windows: int, chunks_per_dev: int):
+    """Data-parallel MSM across the mesh: points/scalars sharded on the
+    point axis, per-device dense bucket accumulation + weighted reduction
+    (the fused single-program kernel), then an all_gather of the tiny
+    [W, 3, L] window sums and a local complete-add fold.
+
+    Collective traffic: num_devices × W × 192 bytes total (the bucket sums),
+    riding ICI — the communication structure SURVEY §2.8 prescribes.
+    """
+    return _sharded_msm_windows_jit(curve, mesh, c, num_windows,
+                                    chunks_per_dev)(scalars, points)
 
 
 def sharded_msm(curve, mesh: Mesh, scalars, points, num_bits: int | None = None):
