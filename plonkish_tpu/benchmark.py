@@ -149,6 +149,17 @@ def main(argv=None) -> None:
 
     os.makedirs("target/bench", exist_ok=True)
     out_path = f"target/bench/{args.system}"
+    # Label each measurement batch (advisor r02: appended rows with
+    # duplicate k keys were ambiguous).  Consumers (plotter.read_series)
+    # skip '#' lines; "last row per k wins" resolves re-measurements.
+    import datetime
+
+    with open(out_path, "a") as f:
+        f.write(
+            f"# run {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds')}"
+            f" circuit={args.circuit} pcs={args.pcs} backend={args.backend}"
+            f" k={args.k}\n"
+        )
     if args.breakdown:
         timer.set_enabled(True)
 

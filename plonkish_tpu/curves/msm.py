@@ -537,6 +537,25 @@ def variable_base_msm(
             kernel = "host"
         else:
             kernel = "pallas" if _pallas.is_available() else "narrow"
+    if kernel != "host":
+        # Mesh-parallel MSM (reference msm.rs:94-115 chunks per rayon
+        # thread; here points/scalars shard across chips and the tiny
+        # per-window sums all_gather over ICI — SURVEY §2.8).  Every
+        # commit site inherits this: batch_commit / PCS opens call in here.
+        from .. import parallel as _parallel
+
+        mesh = _parallel.get_mesh()
+        if (
+            mesh is not None
+            and mesh.devices.size > 1
+            and n % mesh.devices.size == 0
+            and n // mesh.devices.size >= 4
+        ):
+            from ..parallel.sharded import sharded_msm
+
+            return sharded_msm(
+                curve, mesh, scalars, points.reshape(n, 3, limb.L)
+            )
     c = window_size(n)
     if kernel == "host":
         import numpy as _np

@@ -22,7 +22,7 @@ def read_series(path: str) -> List[Tuple[int, float]]:
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if not line:
+            if not line or line.startswith("#"):
                 continue
             k, ms = line.split(",")
             out.append((int(k), float(ms)))

@@ -40,3 +40,47 @@ def test_sharded_msm_matches_host():
     )
     got = sharded_msm(curve, mesh, dev_scalars, dev_pts, num_bits=16)
     assert got == msm_host(scalars, pts)
+
+
+def test_variable_base_msm_routes_through_mesh(monkeypatch):
+    """`variable_base_msm` must dispatch to `sharded_msm` whenever a mesh is
+    active (VERDICT r02 item 4: commit sites were ignoring the mesh).  The
+    heavy kernel is stubbed with the host Pippenger so this stays fast; the
+    sharded kernel's numerics are covered by test_sharded_msm_matches_host."""
+    import os
+
+    from plonkish_tpu import parallel
+    from plonkish_tpu.curves import msm as msm_mod
+    from plonkish_tpu.curves.device import from_affine_host
+    from plonkish_tpu.curves.host import AffinePoint, msm_host
+    from plonkish_tpu.curves.specs import BN254_G1
+    from plonkish_tpu.fields import Fp, limb
+    from plonkish_tpu.parallel import sharded as sharded_mod
+    from plonkish_tpu.parallel.sharded import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    monkeypatch.setenv("PLONKISH_TPU_MSM_HOST_MAX", "8")
+    monkeypatch.setattr(limb, "IS_CPP", False)
+
+    rng = random.Random(9)
+    curve = BN254_G1
+    g = AffinePoint.generator(curve)
+    n = 32
+    pts = [g.scalar_mul(rng.randrange(1, curve.scalar.p)) for _ in range(n)]
+    scalars = [Fp(rng.randrange(curve.scalar.p), curve.scalar) for _ in range(n)]
+    dev_pts = jax.numpy.asarray(
+        np.asarray(from_affine_host(curve, pts), dtype=np.uint32)
+    )
+
+    calls = []
+
+    def fake_sharded_msm(c, mesh, s, p, num_bits=None):
+        calls.append((np.asarray(s).shape, np.asarray(p).shape))
+        return msm_host(scalars, pts)
+
+    monkeypatch.setattr(sharded_mod, "sharded_msm", fake_sharded_msm)
+    with parallel.use_mesh(make_mesh(4)):
+        got = msm_mod.variable_base_msm(curve, scalars, dev_pts)
+    assert calls == [((n, limb.L), (n, 3, limb.L))]
+    assert got == msm_host(scalars, pts)
