@@ -137,6 +137,18 @@ def main() -> None:
     if not args.fieldmul_only:
         try:
             device_pps, native_pps = bench_msm(args.msm_log2, args.budget)
+            from plonkish_tpu import roofline
+            from plonkish_tpu.curves.specs import BN254_G1
+
+            n = 1 << args.msm_log2
+            secs = n / device_pps
+            pct = roofline.roofline_pct(
+                roofline.msm_u32_mul_ops(BN254_G1, n), secs, backend
+            )
+            hbm_pct = roofline.roofline_pct(
+                roofline.msm_hbm_bytes(BN254_G1, n), secs, backend,
+                kind="hbm_bytes",
+            )
             print(
                 json.dumps(
                     {
@@ -144,6 +156,12 @@ def main() -> None:
                         "value": round(device_pps, 1),
                         "unit": "points/s",
                         "vs_baseline": round(device_pps / native_pps, 3),
+                        "roofline_pct": (
+                            round(pct, 1) if pct is not None else None
+                        ),
+                        "roofline_hbm_pct": (
+                            round(hbm_pct, 1) if hbm_pct is not None else None
+                        ),
                     }
                 )
             )

@@ -239,9 +239,33 @@ def main(argv=None) -> None:
             avg_ms = sum(times) / len(times) * 1e3
             with open(out_path, "a") as f:
                 f.write(f"{k}, {avg_ms:.3f}\n")
+            # %-of-roofline per SURVEY §5 / BASELINE: useful modmul ops of
+            # the whole k-round prove against the measured u32-mul peak.
+            import jax
+
+            from plonkish_tpu import roofline
+
+            bk = jax.default_backend() if args.backend == "jax" else "cpp"
+            secs = avg_ms / 1e3
+            mul_pct = roofline.roofline_pct(
+                roofline.sumcheck_u32_mul_ops(
+                    spec, expression, k, len(polys), challenges
+                ),
+                secs, bk,
+            )
+            hbm_pct = roofline.roofline_pct(
+                roofline.sumcheck_hbm_bytes(k, len(polys)),
+                secs, bk, kind="hbm_bytes",
+            )
+            pct_s = (
+                f", roofline {max(mul_pct, hbm_pct):.1f}% "
+                f"(mul {mul_pct:.1f}%, hbm {hbm_pct:.1f}%)"
+                if mul_pct is not None
+                else ""
+            )
             print(
                 f"k={k} zero_check prove avg {avg_ms:.1f} ms "
-                f"(first incl compile {cold_ms:.0f} ms)", flush=True
+                f"(first incl compile {cold_ms:.0f} ms){pct_s}", flush=True
             )
         return
 

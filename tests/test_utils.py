@@ -98,3 +98,36 @@ def test_bh_nth_map():
     for nth, b in enumerate(order):
         assert bh.nth_map[b] == nth
         assert bh.iter_array[nth] == b
+
+
+def test_roofline_models():
+    """Op-count models stay in sync with the kernels they describe
+    (roofline.py documents the derivations)."""
+    import random
+
+    from plonkish_tpu import roofline
+    from plonkish_tpu.backend.hyperplonk.preprocessor import compose
+    from plonkish_tpu.curves.specs import BN254_G1
+    from plonkish_tpu.fields import BN254_FR as spec
+    from plonkish_tpu.fields.host import Fp
+    from plonkish_tpu.models.circuits import rand_vanilla_plonk_circuit
+
+    # MSM: n * windows * 11 mont-muls * 648 u32-muls
+    n = 1 << 18
+    ops = roofline.msm_u32_mul_ops(BN254_G1, n)  # c=5 -> 52 windows
+    assert ops == n * 52 * 11 * 648
+    # at the BENCH_r02 throughput the Pallas MSM sits ~36% of the u32 peak
+    pct = roofline.roofline_pct(ops, n / 929301.7, "tpu")
+    assert 30 < pct < 45
+    assert roofline.roofline_pct(ops, 1.0, "cpu") is None
+
+    ci, _ = rand_vanilla_plonk_circuit(
+        spec, 4, random.Random(1), random.Random(2)
+    )
+    _, expr = compose(ci)
+    ch = [Fp(i + 7, spec) for i in range(3)]
+    muls = roofline.expression_mul_count(spec, expr, ch)
+    assert 0 < muls < 100
+    total = roofline.sumcheck_u32_mul_ops(spec, expr, 10, 13, ch)
+    assert total == ((1 << 10) - 1) * (expr.degree() * muls + 13) * 648
+    assert roofline.sumcheck_hbm_bytes(10, 13) == 13 * ((1 << 11) - 2) * 80
