@@ -38,7 +38,7 @@ from ..fields.host import Fp
 from ..fields.spec import FieldSpec
 from ..pcs.univariate_kzg import UnivariateKzg
 from ..poly.ntt import coset_scale, ntt, root_of_unity
-from ..poly.univariate import UniPoly
+from ..poly.univariate import DUniPoly, UniPoly, powers_tensor
 from ..utils.timer import span
 from ..utils.transcript import Keccak256Transcript
 
@@ -206,13 +206,10 @@ class UnivariatePlonk:
 
             # grand product z over rows (prefix product of ratios)
             with span("grand_product"):
-                pow_w_int = [1]
-                for _ in range(n - 1):
-                    pow_w_int.append(pow_w_int[-1] * w % spec.p)
                 gamma_v = _const_vec(spec, int(gamma), n)
                 num = _const_vec(spec, 1, n)
                 den = _const_vec(spec, 1, n)
-                xs = limb.to_mont(spec, limb.from_ints(pow_w_int))
+                xs = powers_tensor(spec, Fp(w, spec), n)
                 for j in range(3):
                     bid = limb.mont_mul(
                         spec, xs,
@@ -275,11 +272,11 @@ class UnivariatePlonk:
 
                 # coset points shift·ω4^i
                 w4 = root_of_unity(spec, k + 2)
-                pts_int, acc = [], COSET_SHIFT % spec.p
-                for _ in range(n4):
-                    pts_int.append(acc)
-                    acc = acc * w4 % spec.p
-                x_ext = limb.to_mont(spec, limb.from_ints(pts_int))
+                x_ext = limb.mont_mul(
+                    spec,
+                    powers_tensor(spec, Fp(w4, spec), n4),
+                    limb.const(spec, COSET_SHIFT),
+                )
 
                 gamma_e = _const_vec(spec, int(gamma), n4)
                 lhs = z_ext
@@ -310,20 +307,25 @@ class UnivariatePlonk:
                     (sh_n * pow(mu, i, spec.p) - 1) % spec.p for i in range(4)
                 ]
                 zh_inv = [pow(v, spec.p - 2, spec.p) for v in zh_vals]
-                zh_inv_t = limb.to_mont(
-                    spec,
-                    limb.from_ints([zh_inv[i % 4] for i in range(n4)]),
+                zh_inv_t = limb.xnp.tile(
+                    limb.to_mont(spec, limb.from_ints(zh_inv)), (n, 1)
                 )
                 t_ext = mul(total, zh_inv_t)
                 t_coeffs = coset_scale(
                     spec, ntt(spec, t_ext, inverse=True), COSET_SHIFT,
                     invert=True,
                 )
-                t_fps = _tensor_to_fps(spec, t_coeffs)
-                assert all(v.is_zero() for v in t_fps[3 * n :]), (
+                # degree check on device: one bool fetch, not a 4n-element
+                # Python round-trip
+                tail_nonzero = bool(
+                    limb.xnp.any(t_coeffs[3 * n :] != 0)
+                )
+                assert not tail_nonzero, (
                     "quotient degree overflow — constraint system unsatisfied?"
                 )
-                t_chunks = [t_fps[i * n : (i + 1) * n] for i in range(3)]
+                t_chunks = [
+                    t_coeffs[i * n : (i + 1) * n] for i in range(3)
+                ]
                 for chunk in t_chunks:
                     transcript.write_point(
                         self.pcs.commit_coeffs(pp.kzg_pp, chunk)
@@ -331,18 +333,17 @@ class UnivariatePlonk:
 
             zeta = transcript.squeeze_challenge()
 
-            # evaluations + batched opening at {ζ, ωζ}
+            # evaluations + batched opening at {ζ, ωζ} — all device-side
+            # (DUniPoly): the host-bigint version of this phase dominated
+            # the k=20 prover
             with span("open"):
-                polys = (
-                    [UniPoly(spec, _tensor_to_fps(spec, c))
-                     for c in pp.fixed_coeffs]
-                    + [UniPoly(spec, _tensor_to_fps(spec, c))
-                       for c in pp.sigma_coeffs]
-                    + [UniPoly(spec, _tensor_to_fps(spec, c))
-                       for c in wire_coeffs]
-                    + [UniPoly(spec, _tensor_to_fps(spec, z_coeffs))]
-                    + [UniPoly(spec, chunk) for chunk in t_chunks]
-                )
+                polys = [
+                    DUniPoly(spec, c)
+                    for c in (
+                        pp.fixed_coeffs + pp.sigma_coeffs + wire_coeffs
+                        + [z_coeffs] + t_chunks
+                    )
+                ]
                 omega_zeta = zeta * Fp(w, spec)
                 points = [zeta, omega_zeta]
                 evals = []

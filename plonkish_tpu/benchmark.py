@@ -13,6 +13,7 @@ trace (the reference's plotter input).
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import random
 import sys
@@ -57,6 +58,16 @@ def main(argv=None) -> None:
     )
     ap.add_argument("--backend", default="cpp", choices=["cpp", "jax"])
     ap.add_argument("--samples", type=int, default=None)
+    ap.add_argument(
+        "--mesh",
+        default=None,
+        metavar="N1,N2,..",
+        help="scaling-efficiency sweep: run each k under a 1-D device mesh "
+        "of each listed size and report T(1)/(N*T(N)) (real chips) or the "
+        "collective-overhead efficiency T(1)/T(N) (virtual host devices "
+        "share the same cores, so dividing by N would be meaningless); "
+        "appends 'k, n_dev, avg_ms, efficiency_pct' to target/bench/scaling",
+    )
     ap.add_argument("--breakdown", action="store_true")
     ap.add_argument(
         "--profile",
@@ -67,6 +78,23 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     os.environ.setdefault("PLONKISH_TPU_BACKEND", args.backend)
+    mesh_sizes = None
+    if args.mesh:
+        mesh_sizes = sorted({int(s) for s in args.mesh.split(",")})
+        assert args.backend == "jax", "--mesh needs the jax backend"
+        if max(mesh_sizes) > 1:
+            # No multi-chip slice exists in this environment: emulate with
+            # virtual host devices (same mechanism as dryrun_multichip and
+            # the test suite).  Must precede any jax backend touch.
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags
+                    + f" --xla_force_host_platform_device_count={max(mesh_sizes)}"
+                ).strip()
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
     if args.backend == "cpp":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
     else:
@@ -215,25 +243,36 @@ def main(argv=None) -> None:
             challenges = [beta, gamma, alpha]
             y = [Fp(rng.randrange(spec.p), spec) for _ in range(k)]
             samples = args.samples or _sample_size(k)
-            times = []
-            for sample in range(samples + 1):  # first sample warms compiles
-                tr = Keccak256Transcript(spec)
-                t0 = time.perf_counter()
-                ClassicSumCheck.evaluations().prove(
-                    spec, k,
-                    VirtualPolynomial(expression, polys, challenges, [y]),
-                    Fp.zero(spec), tr,
-                )
-                times.append(time.perf_counter() - t0)
-                if sample == 0:
-                    # self-check: the message chain must verify (a kernel
-                    # regression fails the bench loudly, not silently)
-                    ClassicSumCheck.evaluations().verify(
-                        spec, k, expression.degree(), Fp.zero(spec),
-                        Keccak256Transcript.from_proof(
-                            spec, tr.into_proof()
+
+            def time_prove():
+                times = []
+                for sample in range(samples + 1):  # first warms compiles
+                    tr = Keccak256Transcript(spec)
+                    t0 = time.perf_counter()
+                    ClassicSumCheck.evaluations().prove(
+                        spec, k,
+                        VirtualPolynomial(
+                            expression, polys, challenges, [y]
                         ),
+                        Fp.zero(spec), tr,
                     )
+                    times.append(time.perf_counter() - t0)
+                    if sample == 0:
+                        # self-check: the message chain must verify (a
+                        # kernel regression fails the bench loudly)
+                        ClassicSumCheck.evaluations().verify(
+                            spec, k, expression.degree(), Fp.zero(spec),
+                            Keccak256Transcript.from_proof(
+                                spec, tr.into_proof()
+                            ),
+                        )
+                return times
+
+            if mesh_sizes is not None:
+                _scaling_sweep(args, k, mesh_sizes, time_prove)
+                continue
+
+            times = time_prove()
             cold_ms = times[0] * 1e3
             times = times[1:]
             avg_ms = sum(times) / len(times) * 1e3
@@ -390,6 +429,56 @@ def main(argv=None) -> None:
                 breakdown_ms[cat] = secs / samples * 1e3
                 print(f"    {cat:14s} {secs / samples * 1e3:9.2f} ms")
             _append_breakdown(out_path + ".breakdown.json", k, breakdown_ms)
+
+
+def _scaling_sweep(args, k: int, mesh_sizes, time_prove) -> None:
+    """Run `time_prove` under each mesh size and report scaling efficiency
+    (BASELINE: >=70% at 2+ hosts; SURVEY §2.8's parallelize mapping).
+
+    On real multi-chip hardware the metric is T(1)/(N*T(N)).  On virtual
+    host devices (the only multi-device option in this environment) all
+    mesh sizes share the same physical cores, so dividing by N is
+    meaningless; the reported number is instead the collective-overhead
+    efficiency T(1)/T(N) — 100% means GSPMD partitioning and its
+    psum/all_gather insertions cost nothing against the single-device
+    program, which is the component of scaling loss this host can see."""
+    import datetime
+
+    import jax
+
+    from plonkish_tpu import parallel
+    from plonkish_tpu.parallel.sharded import make_mesh
+
+    virtual = jax.default_backend() == "cpu"
+    path = "target/bench/scaling"
+    os.makedirs("target/bench", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(
+            f"# run {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds')}"
+            f" system={args.system} k={k} backend={jax.default_backend()}"
+            f" metric={'T1/TN (virtual, shared cores)' if virtual else 'T1/(N*TN)'}\n"
+        )
+    base_ms = None
+    for nd in mesh_sizes:
+        ctx = (
+            parallel.use_mesh(make_mesh(nd))
+            if nd > 1
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            times = time_prove()
+        avg_ms = sum(times[1:]) / len(times[1:]) * 1e3
+        if nd == mesh_sizes[0]:
+            base_ms = avg_ms if virtual else avg_ms * mesh_sizes[0]
+        eff = base_ms / avg_ms if virtual else base_ms / (nd * avg_ms)
+        with open(path, "a") as f:
+            f.write(f"{k}, {nd}, {avg_ms:.3f}, {100 * eff:.1f}\n")
+        print(
+            f"k={k} mesh={nd}: avg {avg_ms:.1f} ms, "
+            f"efficiency {100 * eff:.1f}%"
+            f"{' (collective overhead only: virtual devices)' if virtual else ''}",
+            flush=True,
+        )
 
 
 def _append_breakdown(path: str, k: int, breakdown_ms) -> None:

@@ -154,15 +154,18 @@ class UnivariateKzg:
         return msm_affine(scalars, bases)
 
     # ------------------------------------------------------------------- open
-    def open(self, pp, poly: UniPoly, comm, point: Fp, eval_, transcript):
-        spec = self.field_spec
-        divisor = UniPoly(spec, [-point, Fp.one(spec)])
-        quotient, _ = poly.div_rem(divisor)
+    def open(self, pp, poly, comm, point: Fp, eval_, transcript):
+        quotient = poly.div_by_roots([point])
         transcript.write_point(self.commit_coeffs(pp, quotient.coeffs))
 
     def batch_open(self, pp, polys, comms, points, evals, transcript):
-        """fflonk-style batched opening (kzg.rs:301-354)."""
-        spec = self.field_spec
+        """fflonk-style batched opening (kzg.rs:301-354).
+
+        `polys` may be host UniPoly or device DUniPoly — the O(n) algebra
+        (β-combination, vanishing division, γ-combination, final witness
+        quotient) runs wherever the polynomials live; DUniPoly keeps it on
+        the device (the k=20 univariate prover spent hundreds of seconds
+        doing this with host bigints)."""
         sets, superset = _eval_sets(evals)
         beta = transcript.squeeze_challenge()
         gamma = transcript.squeeze_challenge()
@@ -171,21 +174,19 @@ class UnivariateKzg:
         powers_of_beta = _powers(beta, max_set_len)
         powers_of_gamma = _powers(gamma, len(sets))
 
-        fs, qs, rs = [], [], []
+        fs, qs = [], []
         for s in sets:
-            vanishing = UniPoly.basis(
-                spec, [points[i] for i in s.points], Fp.one(spec)
-            )
-            f = UniPoly.zero(spec)
+            f = None
             for b_pow, poly_idx in zip(powers_of_beta, s.polys):
-                f = f + polys[poly_idx].scale(b_pow)
-            q, r = f.div_rem(vanishing)
+                fi = polys[poly_idx].scale(b_pow)
+                f = fi if f is None else f + fi
+            q = f.div_by_roots([points[i] for i in s.points])
             fs.append(f)
             qs.append(q)
-            rs.append(r)
-        q = UniPoly.zero(spec)
+        q = None
         for g_pow, qi in zip(powers_of_gamma, qs):
-            q = q + qi.scale(g_pow)
+            qi = qi.scale(g_pow)
+            q = qi if q is None else q + qi
 
         self.commit_and_write(pp, q, transcript)
         z = transcript.squeeze_challenge()
@@ -195,10 +196,9 @@ class UnivariateKzg:
         )
         superset_eval = _vanishing_eval([points[i] for i in superset], z)
         q_scalar = -superset_eval * normalizer
-        f = UniPoly.zero(spec)
+        f = q.scale(q_scalar)
         for sc, fi in zip(normalized_scalars, fs):
             f = f + fi.scale(sc)
-        f = f + q.scale(q_scalar)
         self.open(pp, f, None, z, None, transcript)
 
     # ----------------------------------------------------------------- verify

@@ -15,6 +15,9 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute cold XLA compiles
+
+
 SCRIPT = textwrap.dedent(
     """
     import random

@@ -13,6 +13,11 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute cold XLA compiles
+
+
 SCRIPT = textwrap.dedent(
     """
     import random
