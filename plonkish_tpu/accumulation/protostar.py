@@ -21,6 +21,8 @@ from __future__ import annotations
 import dataclasses
 import enum
 import random
+
+import numpy as np
 from typing import Any, List, Optional, Sequence, Tuple
 
 from ..backend.circuit import PlonkishCircuit, PlonkishCircuitInfo
@@ -529,14 +531,19 @@ def evaluate_compressed_cross_term_sums(spec, cte, pp, acc, incoming) -> List[Fp
     if not cte:
         return []
     polys, challenges = _cross_term_inputs(spec, pp, acc, incoming)
-    out = []
-    for e in cte:
-        tbl = evaluate_on_hypercube(spec, e, pp.num_vars, polys, challenges)
-        total = limb.sum_reduce(spec, tbl)
-        out.append(
-            Fp(int(limb.to_ints(limb.from_mont(spec, total[None]))[0]), spec)
+    # enqueue every cross-term tape asynchronously; ONE device->host fetch
+    # for all d-1 sums (per-term fetches cost a tunnel RTT each)
+    totals = [
+        limb.sum_reduce(
+            spec,
+            evaluate_on_hypercube(spec, e, pp.num_vars, polys, challenges),
         )
-    return out
+        for e in cte
+    ]
+    vals = limb.to_ints(
+        limb.from_mont(spec, limb.xnp.stack(totals, axis=0))
+    )
+    return [Fp(int(v), spec) for v in vals]
 
 
 def evaluate_zeta_cross_term_poly(spec, num_vars, zeta_nth_back, acc, incoming):
@@ -571,20 +578,22 @@ def evaluate_zeta_cross_term_poly(spec, num_vars, zeta_nth_back, acc, incoming):
         ),
     )
 
-    def host_val(tensor, idx) -> Fp:
-        v = limb.to_ints(limb.from_mont(spec, tensor[idx: idx + 1]))[0]
-        return Fp(int(v), spec)
-
     b_0 = 0
     b_last = bh.rotate(1, -1)
-    patch0 = (
-        host_val(acc_pow, b_0) * inc_zeta
-        + host_val(inc_pow, b_0) * acc_zeta
-        - acc_u.double()
+    # one batched fetch for all four boundary values (per-element fetches
+    # cost a tunnel RTT each)
+    idx = limb.xnp.asarray(np.array([b_0, b_last], dtype=np.int32))
+    bvals = limb.to_ints(
+        limb.from_mont(
+            spec,
+            limb.xnp.concatenate([acc_pow[idx], inc_pow[idx]], axis=0),
+        )
     )
+    acc0, accL, inc0, incL = (Fp(int(v), spec) for v in bvals)
+    patch0 = acc0 * inc_zeta + inc0 * acc_zeta - acc_u.double()
     patch_last = (
-        host_val(acc_pow, b_last) * inc_zeta
-        + host_val(inc_pow, b_last) * acc_zeta
+        accL * inc_zeta
+        + incL * acc_zeta
         - acc_u * inc_zeta
         - acc_zeta
     )

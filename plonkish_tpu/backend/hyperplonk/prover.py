@@ -191,9 +191,19 @@ def permutation_z_polys(
         from ...fields.spec import int_to_digits
 
         bh = BooleanHypercube(num_vars)
-        perm_evals = jnp.stack([p.evals for _, p in permutation_polys])
-        wit_evals = jnp.stack(
-            [polys[idx].evals for idx, _ in permutation_polys]
+        from ... import parallel
+
+        # mesh-place the hypercube axis (VERDICT r02: the z-poly scan ran
+        # single-shard under a mesh); GSPMD partitions the fused program
+        # and inserts the BH-gather + scan-carry collectives
+        perm_evals = parallel.maybe_shard_axis(
+            jnp.stack([p.evals for _, p in permutation_polys]), 1
+        )
+        wit_evals = parallel.maybe_shard_axis(
+            jnp.stack(
+                [polys[idx].evals for idx, _ in permutation_polys]
+            ),
+            1,
         )
         offsets = jnp.asarray(
             limb.np.stack(

@@ -556,7 +556,10 @@ def variable_base_msm(
             return sharded_msm(
                 curve, mesh, scalars, points.reshape(n, 3, limb.L)
             )
-    c = window_size(n)
+    # window-size override for hardware roofline experiments (c=6/7 trades
+    # 15-27% fewer windows for 2-4x bucket state; msm.rs:8-14 analogue)
+    c_env = _os.environ.get("PLONKISH_TPU_MSM_C")
+    c = int(c_env) if c_env else window_size(n)
     if kernel == "host":
         import numpy as _np
 

@@ -84,6 +84,13 @@ class MultilinearBrakedown:
         spec = pp.spec
         code = pp.code
         matrix = poly.evals.reshape(pp.num_rows, code.row_len, limb.L)
+        if not limb.IS_CPP:
+            # rows encode independently: shard the row axis over the active
+            # mesh (SURVEY §2.8 parallelize -> shard; the SpMV chain and RS
+            # base case stay shard-local)
+            from .. import parallel
+
+            matrix = parallel.maybe_shard_axis(matrix, 0)
         encoded = code.encode(matrix)  # [num_rows, cw, L] Montgomery
         if not limb.IS_CPP:
             # device-resident hashing: the whole column batch + every

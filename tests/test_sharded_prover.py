@@ -94,3 +94,125 @@ def test_sharded_full_prover_roundtrip():
         f"stderr:\n{proc.stderr[-4000:]}"
     )
     assert proc.stdout.strip().startswith("OK")
+
+
+SCRIPT_KZG = textwrap.dedent(
+    """
+    import os
+    import random
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/plonkish_tpu_jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from plonkish_tpu import parallel
+    from plonkish_tpu.backend.hyperplonk import HyperPlonk
+    from plonkish_tpu.fields import BN254_FR, limb
+    from plonkish_tpu.models.circuits import rand_vanilla_plonk_circuit
+    from plonkish_tpu.parallel import sharded as sharded_mod
+    from plonkish_tpu.parallel.sharded import make_mesh
+    from plonkish_tpu.pcs.kzg import MultilinearKzg
+    from plonkish_tpu.utils.transcript import Keccak256Transcript
+
+    assert not limb.IS_CPP
+    assert len(jax.devices()) >= 8, jax.devices()
+
+    K = 6
+    circuit_info, circuit = rand_vanilla_plonk_circuit(
+        BN254_FR, K, random.Random(1), random.Random(2)
+    )
+    backend = HyperPlonk(MultilinearKzg())
+    param = backend.setup(circuit_info, random.Random(0))
+    pp, vp = backend.preprocess(param, circuit_info)
+
+    t0 = Keccak256Transcript(BN254_FR)
+    backend.prove(pp, circuit, t0)
+    base_proof = t0.into_proof()
+
+    # Under the mesh, every big-enough commit MSM must route through the
+    # data-parallel sharded_msm (VERDICT r02 item 4).  The spy delegates to
+    # the bit-exact host Pippenger so the proof-byte comparison is strict
+    # without paying the 128-window virtual-mesh kernel compile (numerics
+    # of the real sharded kernel: tests/test_sharded.py).
+    os.environ["PLONKISH_TPU_MSM_HOST_MAX"] = "16"
+    msm_sizes = []
+
+    def msm_spy(curve, mesh, scalars, points, num_bits=None):
+        msm_sizes.append(int(points.shape[0]))
+        from plonkish_tpu.curves.device import to_affine_host
+        from plonkish_tpu.ops import field_cpp
+
+        out = field_cpp.ec_msm(
+            curve,
+            np.asarray(scalars, np.uint32),
+            np.asarray(points, np.uint32).reshape(-1, 3, limb.L),
+        )
+        return to_affine_host(curve, limb.xnp.asarray(out)[None])[0]
+
+    sharded_mod.sharded_msm = msm_spy
+
+    shard_log = []
+    real_msa = parallel.maybe_shard_axis
+
+    def msa_spy(arr, axis):
+        out = real_msa(arr, axis)
+        sharded = "data" in str(
+            getattr(getattr(out, "sharding", None), "spec", "")
+        )
+        shard_log.append((tuple(arr.shape), axis, sharded))
+        return out
+
+    parallel.maybe_shard_axis = msa_spy
+
+    mesh = make_mesh(8)
+    with parallel.use_mesh(mesh):
+        t1 = Keccak256Transcript(BN254_FR)
+        backend.prove(pp, circuit, t1)
+    proof = t1.into_proof()
+
+    assert msm_sizes and all(s == 1 << K for s in msm_sizes), msm_sizes
+    # the permutation-z tables ([P, 2^K, L], axis=1) must be mesh-placed
+    assert any(
+        axis == 1 and len(shape) == 3 and shape[1] == 1 << K and ok
+        for shape, axis, ok in shard_log
+    ), shard_log
+    assert proof == base_proof, "sharded proof bytes diverge from unsharded"
+    backend.verify(
+        vp, circuit.instances(),
+        Keccak256Transcript.from_proof(BN254_FR, proof),
+    )
+    print("OK", len(proof), len(msm_sizes))
+    """
+)
+
+
+def test_sharded_kzg_prover_byte_identical():
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    env.update(
+        PLONKISH_TPU_BACKEND="jax",
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/plonkish_tpu_jax_cache",
+        TF_CPP_MIN_LOG_LEVEL="3",
+        XLA_FLAGS=flags,
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT_KZG],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"sharded KZG prover failed\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-4000:]}"
+    )
+    assert proc.stdout.strip().startswith("OK")
