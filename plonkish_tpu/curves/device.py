@@ -286,15 +286,15 @@ def _jdbl_soa(curve: CurveSpec, p):
 
     spec = curve.base
     x1, y1, z1 = p
-    a = soa.mont_mul(spec, x1, x1)
-    b = soa.mont_mul(spec, y1, y1)
-    c = soa.mont_mul(spec, b, b)
+    a = soa.mont_sqr(spec, x1)
+    b = soa.mont_sqr(spec, y1)
+    c = soa.mont_sqr(spec, b)
     xb = soa.add(spec, x1, b)
-    d = soa.mont_mul(spec, xb, xb)
+    d = soa.mont_sqr(spec, xb)
     d = soa.sub(spec, soa.sub(spec, d, a), c)
     d = soa.add(spec, d, d)
     e = soa.add(spec, soa.add(spec, a, a), a)
-    f = soa.mont_mul(spec, e, e)
+    f = soa.mont_sqr(spec, e)
     x3 = soa.sub(spec, f, soa.add(spec, d, d))
     c8 = soa.add(spec, c, c)
     c8 = soa.add(spec, c8, c8)
@@ -312,11 +312,11 @@ def _jmadd_soa(curve: CurveSpec, p, x2, y2, inf2):
 
     spec = curve.base
     x1, y1, z1 = p
-    z1z1 = soa.mont_mul(spec, z1, z1)
+    z1z1 = soa.mont_sqr(spec, z1)
     u2 = soa.mont_mul(spec, x2, z1z1)
     s2 = soa.mont_mul(spec, y2, soa.mont_mul(spec, z1, z1z1))
     h = soa.sub(spec, u2, x1)
-    hh = soa.mont_mul(spec, h, h)
+    hh = soa.mont_sqr(spec, h)
     i4 = soa.add(spec, hh, hh)
     i4 = soa.add(spec, i4, i4)
     j = soa.mont_mul(spec, h, i4)
@@ -324,7 +324,7 @@ def _jmadd_soa(curve: CurveSpec, p, x2, y2, inf2):
     r = soa.add(spec, r, r)
     v = soa.mont_mul(spec, x1, i4)
     x3 = soa.sub(
-        spec, soa.sub(spec, soa.mont_mul(spec, r, r), j),
+        spec, soa.sub(spec, soa.mont_sqr(spec, r), j),
         soa.add(spec, v, v),
     )
     yj = soa.mont_mul(spec, y1, j)
@@ -334,7 +334,7 @@ def _jmadd_soa(curve: CurveSpec, p, x2, y2, inf2):
     )
     zh = soa.add(spec, z1, h)
     z3 = soa.sub(
-        spec, soa.sub(spec, soa.mont_mul(spec, zh, zh), z1z1), hh
+        spec, soa.sub(spec, soa.mont_sqr(spec, zh), z1z1), hh
     )
 
     p1_inf = soa.is_zero(z1)
@@ -374,25 +374,26 @@ def _jadd_soa(curve: CurveSpec, p, q):
     mul = lambda a, b: soa.mont_mul(spec, a, b)
     add = lambda a, b: soa.add(spec, a, b)
     sub = lambda a, b: soa.sub(spec, a, b)
+    sqr = lambda a: soa.mont_sqr(spec, a)
 
-    z1z1 = mul(z1, z1)
-    z2z2 = mul(z2, z2)
+    z1z1 = sqr(z1)
+    z2z2 = sqr(z2)
     u1 = mul(x1, z2z2)
     u2 = mul(x2, z1z1)
     s1 = mul(y1, mul(z2, z2z2))
     s2 = mul(y2, mul(z1, z1z1))
     h = sub(u2, u1)
     h2 = add(h, h)
-    i = mul(h2, h2)
+    i = sqr(h2)
     j = mul(h, i)
     r = sub(s2, s1)
     r = add(r, r)
     v = mul(u1, i)
-    x3 = sub(sub(mul(r, r), j), add(v, v))
+    x3 = sub(sub(sqr(r), j), add(v, v))
     sj = mul(s1, j)
     y3 = sub(mul(r, sub(v, x3)), add(sj, sj))
     zz = add(z1, z2)
-    z3 = mul(sub(sub(mul(zz, zz), z1z1), z2z2), h)
+    z3 = mul(sub(sub(sqr(zz), z1z1), z2z2), h)
 
     p1_inf = soa.is_zero(z1)
     p2_inf = soa.is_zero(z2)
@@ -432,11 +433,11 @@ def _jmadd_soa_incomplete(curve: CurveSpec, p, x2, y2, inf2):
 
     spec = curve.base
     x1, y1, z1 = p
-    z1z1 = soa.mont_mul(spec, z1, z1)
+    z1z1 = soa.mont_sqr(spec, z1)
     u2 = soa.mont_mul(spec, x2, z1z1)
     s2 = soa.mont_mul(spec, y2, soa.mont_mul(spec, z1, z1z1))
     h = soa.sub(spec, u2, x1)
-    hh = soa.mont_mul(spec, h, h)
+    hh = soa.mont_sqr(spec, h)
     i4 = soa.add(spec, hh, hh)
     i4 = soa.add(spec, i4, i4)
     j = soa.mont_mul(spec, h, i4)
@@ -444,7 +445,7 @@ def _jmadd_soa_incomplete(curve: CurveSpec, p, x2, y2, inf2):
     r = soa.add(spec, r, r)
     v = soa.mont_mul(spec, x1, i4)
     x3 = soa.sub(
-        spec, soa.sub(spec, soa.mont_mul(spec, r, r), j),
+        spec, soa.sub(spec, soa.mont_sqr(spec, r), j),
         soa.add(spec, v, v),
     )
     yj = soa.mont_mul(spec, y1, j)
@@ -454,7 +455,7 @@ def _jmadd_soa_incomplete(curve: CurveSpec, p, x2, y2, inf2):
     )
     zh = soa.add(spec, z1, h)
     z3 = soa.sub(
-        spec, soa.sub(spec, soa.mont_mul(spec, zh, zh), z1z1), hh
+        spec, soa.sub(spec, soa.mont_sqr(spec, zh), z1z1), hh
     )
     x3 = soa.select(inf2, x1, x3)
     y3 = soa.select(inf2, y1, y3)

@@ -170,12 +170,37 @@ def _mul_columns_low(a, b) -> List[jnp.ndarray]:
     return [c if c is not None else z for c in cols]
 
 
-def mont_mul(spec: FieldSpec, a, b) -> List[jnp.ndarray]:
-    """a*b*R^{-1} mod p, one-shot REDC (same math as limb.redc)."""
+def _sqr_columns(a) -> List[jnp.ndarray]:
+    """Schoolbook square as lazy u32 columns: each cross product a_i·a_j
+    (i<j) is accumulated once and the columns doubled afterwards, then the
+    diagonal a_i² terms land — L(L+1)/2 = 136 u32 multiplies vs 256 for
+    `_mul_columns(a, a)`.  Lazy bound: a cross column holds ≤ L/2 16-bit
+    halves (< 2^19), doubled < 2^20, plus a diagonal half → < 2^21."""
+    cols: List[jnp.ndarray] = [None] * (2 * L + 1)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(L):
+        ai = a[i]
+        for j in range(i + 1, L):
+            p = ai * a[j]
+            acc(i + j, p & MASK)
+            acc(i + j + 1, p >> W16)
+    z = jnp.zeros_like(a[0])
+    cols = [z if c is None else c + c for c in cols]
+    for i in range(L):
+        p = a[i] * a[i]
+        acc(2 * i, p & MASK)
+        acc(2 * i + 1, p >> W16)
+    return cols
+
+
+def _redc(spec: FieldSpec, t: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """One-shot Montgomery reduction of exact double-width digits t
+    (2L+1 entries, 16-bit each) -> T·R^{-1} mod p (same math as limb.redc)."""
     import numpy as np
 
-    t_lazy = _mul_columns(a, b)  # 2L+1 lazy
-    t = _carry_chain(t_lazy)[: 2 * L + 1]  # exact
     pp = [np.uint32(int(d)) for d in np.asarray(spec.p_prime_digits)]
     m = _carry_chain(_mul_columns_low(t[:L], pp))[:L]  # exact mod R
     pd = [np.uint32(int(d)) for d in np.asarray(spec.p_digits)]
@@ -183,6 +208,20 @@ def mont_mul(spec: FieldSpec, a, b) -> List[jnp.ndarray]:
     u = _carry_chain([x + y for x, y in zip(t, mp)])[: 2 * L + 1]
     # (T + M·p)/R < 2p: take digits L..2L-1 (digit 2L is zero)
     return _cond_sub_p(spec, u[L : 2 * L])
+
+
+def mont_mul(spec: FieldSpec, a, b) -> List[jnp.ndarray]:
+    """a*b*R^{-1} mod p, one-shot REDC (same math as limb.redc)."""
+    t = _carry_chain(_mul_columns(a, b))[: 2 * L + 1]  # exact
+    return _redc(spec, t)
+
+
+def mont_sqr(spec: FieldSpec, a) -> List[jnp.ndarray]:
+    """a²·R^{-1} mod p — 18% fewer u32 multiplies than mont_mul(a, a)
+    (136 + 136 + 256 vs 256 + 136 + 256); the EC point formulas are
+    square-heavy (madd-2007-bl: 8M+3S, dbl-2007-bl: 1M+8S)."""
+    t = _carry_chain(_sqr_columns(a))[: 2 * L + 1]  # exact
+    return _redc(spec, t)
 
 
 def select(cond, a, b):

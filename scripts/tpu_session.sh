@@ -34,6 +34,10 @@ for st in $stages; do
     protostar)
       run python -m plonkish_tpu.benchmark --system protostar --circuit aggregation --backend jax --k 18..21
       ;;
+    uni)
+      # BASELINE config[1]: halo2-comparison univariate backend at k=16
+      run python -m plonkish_tpu.benchmark --system univariate_plonk --backend jax --k 16..17 --breakdown
+      ;;
     msm)
       run python -u bench.py --msm-log2 18 --budget 1800
       run python -u bench.py --msm-log2 20 --budget 1800

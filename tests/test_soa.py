@@ -18,6 +18,20 @@ def rand_tensors(n, seed=0):
     return np.asarray(a, dtype=np.uint32), np.asarray(b, dtype=np.uint32)
 
 
+def test_mont_sqr_matches_mont_mul():
+    a_np, _ = rand_tensors(64, seed=7)
+    a_np[0] = 0  # zero operand edge
+    import jax.numpy as jnp
+
+    def f(a):
+        at = soa.from_tensor(a)
+        return (soa.to_tensor(soa.mont_sqr(SPEC, at)),
+                soa.to_tensor(soa.mont_mul(SPEC, at, at)))
+
+    got, want = jax.jit(f)(jnp.asarray(a_np))
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.parametrize("op", ["add", "sub", "mont_mul", "neg"])
 def test_soa_matches_limb(op):
     a_np, b_np = rand_tensors(64, seed=hash(op) % 1000)
