@@ -33,9 +33,12 @@ PEAKS = {
 # soa.mont_mul (fields/soa.py): schoolbook a*b (16x16 = 256 u32 muls) +
 # m = t*p' mod R (triangular low half: 136) + m*p (256)  -> 648 per modmul.
 MONT_MUL_U32_MULS = 648
+# soa.mont_sqr: cross products once + diagonal (136) + the same REDC tail.
+MONT_SQR_U32_MULS = 136 + 136 + 256
 
-# curves/device._jmadd_soa_incomplete: madd-2007-bl 8M+3S = 11 field muls.
-MADD_INCOMPLETE_MONT_MULS = 11
+# curves/device._jmadd_soa_incomplete: madd-2007-bl 7M+4S (z1z1, hh, r²,
+# zh² are mont_sqr since round 3).
+MADD_INCOMPLETE_U32_MULS = 7 * MONT_MUL_U32_MULS + 4 * MONT_SQR_U32_MULS
 
 
 def msm_u32_mul_ops(curve, n: int, c: Optional[int] = None) -> int:
@@ -51,7 +54,7 @@ def msm_u32_mul_ops(curve, n: int, c: Optional[int] = None) -> int:
 
     c = c or window_size(n)
     num_windows = -(-curve.scalar.num_bits // c) + 1  # signed digits
-    return n * num_windows * MADD_INCOMPLETE_MONT_MULS * MONT_MUL_U32_MULS
+    return n * num_windows * MADD_INCOMPLETE_U32_MULS
 
 
 def expression_mul_count(spec, expr, challenges=None) -> int:
