@@ -212,6 +212,8 @@ def _redc(spec: FieldSpec, t: List[jnp.ndarray]) -> List[jnp.ndarray]:
 
 def mont_mul(spec: FieldSpec, a, b) -> List[jnp.ndarray]:
     """a*b*R^{-1} mod p, one-shot REDC (same math as limb.redc)."""
+    if F32_MUL:
+        return mont_mul_f32(spec, a, b)
     t = _carry_chain(_mul_columns(a, b))[: 2 * L + 1]  # exact
     return _redc(spec, t)
 
@@ -220,8 +222,142 @@ def mont_sqr(spec: FieldSpec, a) -> List[jnp.ndarray]:
     """a²·R^{-1} mod p — 18% fewer u32 multiplies than mont_mul(a, a)
     (136 + 136 + 256 vs 256 + 136 + 256); the EC point formulas are
     square-heavy (madd-2007-bl: 8M+3S, dbl-2007-bl: 1M+8S)."""
+    if F32_MUL:
+        return mont_sqr_f32(spec, a)
     t = _carry_chain(_sqr_columns(a))[: 2 * L + 1]  # exact
     return _redc(spec, t)
+
+
+# ---------------------------------------------------------------------------
+# f32 digit products.
+#
+# The VPU's measured u32-multiply rate is 0.96 Tops/s vs 12.9 Tops/s for
+# adds/logic (docs/PERF_NOTES.md) — 32-bit integer multiply is emulated in
+# ~13 ops, while f32 multiply issues at native rate.  With 8-bit digits every
+# partial product (< 2^16) and every schoolbook column sum (≤ 32 terms
+# < 2^21.99) is an integer below 2^24, hence EXACT in f32.  So: split the
+# 16-bit storage digits into bytes, convert to f32, run the schoolbook
+# products as f32 mul/adds, convert the exact base-256 columns back to u32,
+# and keep all carry propagation in the integer domain.  Identical results
+# to the u32 path bit-for-bit, ~3x fewer mul-equivalent VPU ops.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+F32_MUL = _os.environ.get("PLONKISH_TPU_F32_MUL", "0") == "1"
+
+B8 = 2 * L  # byte digits per element
+MASK8 = np.uint32(0xFF)
+
+
+def _to_bytes_f32(a) -> List[jnp.ndarray]:
+    """L u32 16-bit digit arrays -> 2L f32 byte-digit arrays (exact)."""
+    out = []
+    for d in a:
+        out.append((d & MASK8).astype(jnp.float32))
+        out.append((d >> np.uint32(8)).astype(jnp.float32))
+    return out
+
+
+def _spec_bytes_f32(digits) -> List[np.float32]:
+    """Fixed-constant digits (p, p') as python f32 scalars for the kernels
+    (numpy literals — Pallas bodies cannot capture jax scalars)."""
+    out = []
+    for d in np.asarray(digits, dtype=np.uint32):
+        out.append(np.float32(int(d) & 0xFF))
+        out.append(np.float32(int(d) >> 8))
+    return out
+
+
+def _mul_columns_f32(a8, b8, nlo=None) -> List[jnp.ndarray]:
+    """Schoolbook byte product in f32: column k = Σ_{i+j=k} a8_i·b8_j,
+    every column ≤ 32 terms of < 2^16 -> < 2^21, exact in f32.  Skips
+    columns ≥ nlo when only the low half (mod 256^nlo) is needed.
+    Constant (python float) b8 entries equal to 0 are elided."""
+    n, m = len(a8), len(b8)
+    hi = n + m - 1 if nlo is None else nlo
+    cols: List[jnp.ndarray] = [None] * hi
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(n):
+        ai = a8[i]
+        for j in range(min(m, hi - i)):
+            bj = b8[j]
+            if isinstance(bj, (float, np.floating)) and float(bj) == 0.0:
+                continue
+            acc(i + j, ai * bj)
+    z = None
+    for k in range(hi):
+        if cols[k] is None:
+            if z is None:
+                z = jnp.zeros_like(a8[0])
+            cols[k] = z
+    return cols
+
+
+def _sqr_columns_f32(a8) -> List[jnp.ndarray]:
+    """f32 byte square: cross products once, columns doubled, diagonals
+    added.  Cross column ≤ 16 terms < 2^20, doubled < 2^21, + diagonal
+    < 2^21 + 2^16 — exact in f32."""
+    n = len(a8)
+    cols: List[jnp.ndarray] = [None] * (2 * n - 1)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(n):
+        ai = a8[i]
+        for j in range(i + 1, n):
+            acc(i + j, ai * a8[j])
+    z = jnp.zeros_like(a8[0])
+    cols = [z if c is None else c + c for c in cols]
+    for i in range(n):
+        acc(2 * i, ai := a8[i] * a8[i])
+    return cols
+
+
+def _pair_bytes_u32(cols) -> List[jnp.ndarray]:
+    """Exact f32 base-256 columns -> lazy u32 base-2^16 digits:
+    d[k] = c[2k] + c[2k+1]·256, value < 2^21 + 2^29 < 2^30 (safe for the
+    carry chain's digit+carry < 2^32 requirement)."""
+    c = [x.astype(jnp.uint32) for x in cols]
+    ds = []
+    for k in range(0, len(c) - 1, 2):
+        ds.append(c[k] + (c[k + 1] << np.uint32(8)))
+    if len(c) % 2:
+        ds.append(c[-1])
+    return ds
+
+
+def mont_mul_f32(spec: FieldSpec, a, b) -> List[jnp.ndarray]:
+    """Bit-identical to mont_mul, products in f32 (module comment above)."""
+    a8 = _to_bytes_f32(a)
+    b8 = _to_bytes_f32(b)
+    t = _carry_chain(_pair_bytes_u32(_mul_columns_f32(a8, b8)))[: 2 * L + 1]
+    return _redc_f32(spec, t)
+
+
+def mont_sqr_f32(spec: FieldSpec, a) -> List[jnp.ndarray]:
+    a8 = _to_bytes_f32(a)
+    t = _carry_chain(_pair_bytes_u32(_sqr_columns_f32(a8)))[: 2 * L + 1]
+    return _redc_f32(spec, t)
+
+
+def _redc_f32(spec: FieldSpec, t: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """One-shot REDC with the two fixed-operand products (·p' mod R, ·p)
+    also in f32.  Same result as _redc bit-for-bit."""
+    pp8 = _spec_bytes_f32(spec.p_prime_digits)
+    t8 = _to_bytes_f32(t[:L])
+    m_cols = _mul_columns_f32(t8, pp8, nlo=B8)  # low half: mod 2^256
+    m = _carry_chain(_pair_bytes_u32(m_cols))[:L]  # exact mod R
+    pd8 = _spec_bytes_f32(spec.p_digits)
+    mp = _pair_bytes_u32(_mul_columns_f32(_to_bytes_f32(m), pd8))
+    u = _carry_chain(
+        [x + y for x, y in zip(t, mp)] + list(t[len(mp):])
+    )[: 2 * L + 1]
+    return _cond_sub_p(spec, u[L : 2 * L])
 
 
 def select(cond, a, b):

@@ -232,6 +232,76 @@ def sweep_msm():
     print(f"BEST at 2^18: {best[1]} at {best[0] / 1e3:.1f}K pts/s")
 
 
+def check_f32_mul(s=512, chain=16, grid=64):
+    """On-chip bit-equality of soa.mont_mul_f32/mont_sqr_f32 vs the u32
+    path, plus a throughput microbenchmark of both inside one Mosaic
+    kernel shape (dependent mul chain on [L, s, 128] blocks; each SoA
+    mont_mul has ~2K internal independent ops, so the chain still
+    exposes ILP).  Decides whether PLONKISH_TPU_F32_MUL should default
+    on: f32 multiplies may issue faster than u32 on the VPU
+    (docs/PERF_NOTES.md round-1 vs round-2 rates disagree)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from plonkish_tpu.fields import soa
+
+    SPECF = SPEC
+    L = limb.L
+
+    def _chain_kernel(fn, a_ref, b_ref, out_ref):
+        a = [a_ref[d] for d in range(L)]
+        b = [b_ref[d] for d in range(L)]
+        acc = a
+        for _ in range(chain):
+            acc = fn(SPECF, acc, b)
+        for d in range(L):
+            out_ref[d] = acc[d]
+
+    def run(fn):
+        kernel = functools.partial(_chain_kernel, fn)
+        f = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((L, s, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, s, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((L, s, 128), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((L, s, 128), jnp.uint32),
+        )
+        a_t, _ = rand_mont_jnp(s * 128)
+        b_t, _ = rand_mont_jnp(s * 128)
+        a = jnp.asarray(a_t.T.reshape(L, s, 128))
+        b = jnp.asarray(b_t.T.reshape(L, s, 128))
+        fj = jax.jit(f)
+        out = jax.block_until_ready(fj(a, b))
+        t0 = time.time()
+        out = jax.block_until_ready(fj(a, b))
+        dt = time.time() - t0
+        n_muls = grid * chain * s * 128
+        return np.asarray(out), n_muls / dt
+
+    def mul_u32(sp, x, y):  # the u32 path regardless of the env knob
+        return soa._redc(
+            sp, soa._carry_chain(soa._mul_columns(x, y))[: 2 * L + 1]
+        )
+
+    got_u32, rate_u32 = run(mul_u32)
+    got_f32, rate_f32 = run(soa.mont_mul_f32)
+    assert np.array_equal(got_u32, got_f32), "f32 mont_mul chain MISMATCH"
+    print(
+        f"mont_mul chain ({s}x128, {chain} deep): "
+        f"u32 {rate_u32 / 1e9:.2f} Gmul/s, f32 {rate_f32 / 1e9:.2f} Gmul/s "
+        f"({rate_f32 / rate_u32:.2f}x)"
+    )
+    print("f32 mont_mul: MATCH")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("backend:", jax.default_backend())
@@ -239,6 +309,8 @@ if __name__ == "__main__":
         check_sumcheck()
     if which in ("all", "msm"):
         check_msm()
+    if which in ("all", "f32"):
+        check_f32_mul()
     if which == "sweep":
         sweep_msm()
     print("OK")
