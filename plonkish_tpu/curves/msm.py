@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import List, Sequence
 
 import jax
@@ -701,20 +702,48 @@ def fixed_base_msm(
     table = table.reshape(num_windows, 1 << c, 3, limb.L)
     digits = _window_digits(scalars, c, num_windows)  # [W, N]
 
-    def run(curve, table, digits):
-        xnp = limb.xnp
-        w = table.shape[0]
-        gathered = table[xnp.arange(w)[:, None], digits]  # [W, N, 3, L]
-        while gathered.shape[0] > 1:
-            m = gathered.shape[0]
-            if m % 2:
-                pad = xnp.broadcast_to(
-                    identity(curve), (1, *gathered.shape[1:])
-                )
-                gathered = xnp.concatenate([gathered, pad], axis=0)
-            gathered = padd(curve, gathered[0::2], gathered[1::2])
-        return gathered[0]
+    # Window-sequential accumulation over fixed-size N-chunks.  The obvious
+    # [W, N, 3, L] gather + pairwise padd tree materializes W.N points plus
+    # [16, 16, W.N/2] Montgomery digit-product temps — ~14 GB at k=20 —
+    # which OOMs the chip (this is the one-time SRS setup; the peak live set
+    # here must stay far below the per-prove working set).  A scan keeps one
+    # chunk's padd temps live at a time; digit 0 gathers the identity row
+    # and padd is the complete RCB16 formula, so padded tail entries and
+    # zero digits are both no-ops.
+    chunk = min(
+        n, int(os.environ.get("PLONKISH_TPU_FIXED_MSM_CHUNK", 1 << 15))
+    )
+
+    def run(curve, table, digits):  # digits [W, chunk]
+        def step(acc, wd):
+            tbl_w, d = wd
+            return padd(curve, acc, tbl_w[d]), None
+
+        acc0 = limb.xnp.broadcast_to(
+            identity(curve), (digits.shape[1], 3, limb.L)
+        )
+        if limb.IS_CPP:
+            acc = acc0
+            for w in range(digits.shape[0]):
+                acc, _ = step(acc, (table[w], digits[w]))
+            return acc
+        acc, _ = jax.lax.scan(step, acc0, (table, digits))
+        return acc
 
     if not limb.IS_CPP:
         run = functools.partial(jax.jit, static_argnums=0)(run)
-    return run(curve, table, digits)
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        digits = limb.xnp.concatenate(
+            [
+                digits,
+                limb.xnp.zeros((num_windows, n_pad - n), dtype=digits.dtype),
+            ],
+            axis=1,
+        )
+    outs = [
+        run(curve, table, digits[:, i : i + chunk])
+        for i in range(0, n_pad, chunk)
+    ]
+    out = limb.xnp.concatenate(outs, axis=0)
+    return out[:n]

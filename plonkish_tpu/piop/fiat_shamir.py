@@ -311,8 +311,7 @@ def digits_to_int(digits) -> int:
 # challenge, interpolate the next claimed sum, update the identity offset
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _round_message_jit(
+def _round_message_body(
     spec, degree: int, nbytes: int,
     evals_canon, sum_mont, off_mont,
     sp_lo, sp_hi, buf_lo, buf_hi,
@@ -371,6 +370,11 @@ def _round_message_jit(
         msg_canon, ch_canon, ch_mont, next_sum, next_off,
         sp.lo, sp.hi, sp.buf_lo, sp.buf_hi,
     )
+
+
+_round_message_jit = functools.partial(jax.jit, static_argnums=(0, 1, 2))(
+    _round_message_body
+)
 
 
 def round_message(spec, degree, sponge: DeviceSponge, evals_canon,

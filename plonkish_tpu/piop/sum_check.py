@@ -603,19 +603,8 @@ class EvaluationsProver:
 
         # Compile-size-bounded path: SSA tape + lax.scan (piop/tape.py).
         from ..fields.spec import int_to_digits
-        from . import tape as tape_mod
 
-        t = tape_mod.tape_for(self.expr, spec)
-        use_identity = ("identity",) in t.leaf_keys
-        # remap OP_LOAD operands from tape leaf slots to stacked-state rows
-        # (identity = synthetic row T appended inside _tape_round_jax)
-        row_of = {k: i for i, k in enumerate(table_keys)}
-        row_of[("identity",)] = len(table_keys)
-        instrs = t.instrs.copy()
-        is_load = instrs[:, 0] == tape_mod.OP_LOAD
-        instrs[is_load, 1] = np.asarray(
-            [row_of[k] for k in t.leaf_keys], dtype=np.int32
-        )[instrs[is_load, 1]]
+        t, instrs, use_identity = self._tape_setup(spec, table_keys)
         stacked = stacked_dm  # [T, L, 2*size] digit-major
         # pad tail rounds up to one shared shape (see _tape_round_jax)
         psize = max(size, _TAPE_PAD_SIZE)
@@ -634,6 +623,23 @@ class EvaluationsProver:
             jnp.asarray(instrs), t.const_rows(spec),
             id_mul, id_off, id_step, jnp.asarray(mask),
         )  # [d, L] canonical
+
+    def _tape_setup(self, spec, table_keys):
+        """(tape, row-remapped instrs, use_identity) for the XLA tail-round
+        path — OP_LOAD operands remapped from tape leaf slots to stacked
+        state rows (identity = synthetic row T, see _tape_round_jax)."""
+        from . import tape as tape_mod
+
+        t = tape_mod.tape_for(self.expr, spec)
+        use_identity = ("identity",) in t.leaf_keys
+        row_of = {k: i for i, k in enumerate(table_keys)}
+        row_of[("identity",)] = len(table_keys)
+        instrs = t.instrs.copy()
+        is_load = instrs[:, 0] == tape_mod.OP_LOAD
+        instrs[is_load, 1] = np.asarray(
+            [row_of[k] for k in t.leaf_keys], dtype=np.int32
+        )[instrs[is_load, 1]]
+        return t, instrs, use_identity
 
     def _prove_round_jax(self, state: ProverState) -> Evaluations:
         from . import fiat_shamir as fs
