@@ -36,6 +36,18 @@ def sanity_checks() -> bool:
     return os.environ.get("PLONKISH_TPU_SANITY", "0") == "1"
 
 
+def fused_rounds() -> bool:
+    """Single-dispatch sum-check rounds under device-FS: each round's
+    (evals kernel, FS message, fold) run as ONE program, per-round
+    constants are device-resident stacks indexed by an on-device round
+    counter, and the tail (tape) rounds collapse into one lax.scan
+    program shared across every k.  Cuts the ~6 tunnel messages per
+    round (3 dispatches + 3 constant uploads) to ~1 per packed round +
+    1 for the whole tail — the fixed per-prove latency on the tunneled
+    TPU.  Set PLONKISH_TPU_FUSED_ROUNDS=0 for the per-program path."""
+    return os.environ.get("PLONKISH_TPU_FUSED_ROUNDS", "1") == "1"
+
+
 def device_fs() -> bool:
     """Device-resident Fiat-Shamir for the jax sum-check prover: the
     transcript sponge runs on device so every round's programs enqueue

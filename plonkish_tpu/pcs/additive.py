@@ -141,8 +141,24 @@ import jax as _jax
 
 @_functools.partial(_jax.jit, static_argnums=0)
 def _weighted_sum_jit(spec, stacked, sc):
-    terms = limb._mont_mul_jax(spec, stacked, sc[:, None, :])
-    return limb._sum_reduce_jax(spec, terms)
+    # Scan over hypercube chunks: one flat [M, n] Montgomery multiply would
+    # materialize [16, 16, M*n] digit-product temps (~13 GB at k=20 with the
+    # HyperPlonk batch-open's ~12 active polys) and OOM the chip; a chunk
+    # bounds the live temps at a few hundred MB regardless of k.
+    import jax.numpy as jnp
+
+    m, n, l_ = stacked.shape
+    chunk = min(n, 1 << 15)
+
+    def body(carry, i):
+        x = _jax.lax.dynamic_slice_in_dim(stacked, i * chunk, chunk, axis=1)
+        terms = limb._mont_mul_jax(spec, x, sc[:, None, :])
+        return carry, limb._sum_reduce_jax(spec, terms)
+
+    _, out = _jax.lax.scan(
+        body, None, jnp.arange(n // chunk, dtype=jnp.int32)
+    )
+    return out.reshape(n, l_)
 
 
 def batch_verify(

@@ -405,8 +405,7 @@ def _fold_all_dm_jax(spec, stacked, challenge):
     return jnp.transpose(folded, (0, 2, 1))
 
 
-@_functools.partial(_jax.jit, static_argnums=(0, 1, 2, 3))
-def _tape_round_jax(
+def _tape_round_body(
     spec, tape_static, degree, use_identity, stacked, instrs, consts,
     id_mul, id_off, id_step, mask
 ):
@@ -472,6 +471,134 @@ def _tape_round_jax(
     totals = limb._sum_reduce_jax(spec, jnp.transpose(out, (1, 0, 2)))
     one_ = jnp.zeros((limb.L,), jnp.uint32).at[0].set(1)
     return limb._mont_mul_jax(spec, totals, one_)
+
+
+_tape_round_jax = _functools.partial(_jax.jit, static_argnums=(0, 1, 2, 3))(
+    _tape_round_body
+)
+
+
+# ---------------------------------------------------------------------------
+# Fused-round programs (config.fused_rounds): one dispatch per packed round,
+# one lax.scan program for the whole sub-threshold tail.  Both embed the
+# device-FS message/squeeze (fiat_shamir._round_message_body) so a round is
+# a single enqueue instead of 3 programs + per-round constant uploads — the
+# fixed per-round latency on a network-tunneled TPU.
+# ---------------------------------------------------------------------------
+
+# Per-round constants for every possible round, uploaded ONCE per prove as
+# [32, L] stacks and sliced on device by a carried round counter:
+#   row r of idmul: (2^(r+1) * R^2) mod p   (identity b-scaling, see
+#                   _tape_round_body / pallas round kernel)
+#   row r of step:  mont(2^r)               (identity per-t step and the
+#                   round_message offset update)
+_MAX_ROUNDS = 32
+
+
+def _round_const_stacks(spec):
+    from ..fields.spec import int_to_digits
+
+    idmul = np.stack([
+        np.asarray(int_to_digits(((1 << (r + 1)) * spec.r2_mod_p) % spec.p))
+        for r in range(_MAX_ROUNDS)
+    ])
+    step = np.stack([
+        np.asarray(int_to_digits(spec.to_mont((1 << r) % spec.p)))
+        for r in range(_MAX_ROUNDS)
+    ])
+    return idmul, step
+
+
+@_functools.partial(_jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_packed_round_jit(
+    spec, expr, keys, degree, use_identity, nbytes,
+    stacked, rnd, idmul_stack, stp_stack, sum_mont, off_mont,
+    sp_lo, sp_hi, buf_lo, buf_hi, w_mont, pts_mont,
+):
+    """ONE program for a packed (Pallas) sum-check round: round-poly evals,
+    canonicalization, Fiat-Shamir absorb/squeeze, next-sum interpolation,
+    and the fold — returns the folded state plus the advanced sponge/round
+    counter.  Shape-keyed only (the round index is a traced scalar), so the
+    compiled program is shared across every k that reaches this size."""
+    from ..pallas import sumcheck as _psc
+    from . import fiat_shamir as fs
+
+    idc = idmul_stack[rnd]
+    stp = stp_stack[rnd]
+    off = limb._add_jax(spec, off_mont, stp)
+    sums = _psc._round_evals_jit(
+        spec, expr, keys, degree, use_identity, stacked, idc, off, stp
+    )
+    # de-interleave the kernel's (lo, hi) digit-sum layout (see
+    # pallas.sumcheck._round_evals_canon_jit)
+    lo_, hi_ = sums[:, 0::2], sums[:, 1::2]
+    pos = jnp.pad(lo_, ((0, 0), (0, limb.L)))
+    pos = pos.at[:, 1: limb.L + 1].add(hi_)
+    evals = fs.digit_sums_to_canonical(spec, pos)
+    (msg_canon, ch_canon, ch_mont, next_sum, next_off,
+     lo, hi, b_lo, b_hi) = fs._round_message_body(
+        spec, degree, nbytes, evals, sum_mont, off_mont,
+        sp_lo, sp_hi, buf_lo, buf_hi, w_mont, pts_mont, stp,
+    )
+    folded = _psc._fold_tables_jit(spec, stacked, ch_mont)
+    return (msg_canon, ch_canon, folded, rnd + 1, next_sum, next_off,
+            lo, hi, b_lo, b_hi)
+
+
+@_functools.partial(_jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_tail_scan_jit(
+    spec, tape_static, degree, use_identity, nbytes, n_steps,
+    stacked_p, rnd0, live0, idmul_stack, stp_stack, instrs, consts,
+    sum_mont, off_mont, sp_lo, sp_hi, buf_lo, buf_hi, w_mont, pts_mont,
+):
+    """ALL remaining tape rounds as one lax.scan program.
+
+    `stacked_p` is the digit-major state zero-padded to a fixed width
+    [T, L, 2*psize]; the live pair count (live0 >> j at step j) only enters
+    through the evaluation mask, and each step's fold writes the halved
+    live region back into the padded width, so every step shares one shape.
+    One dispatch + one [n_steps, d+1, L] message fetch replace ~n_steps*3
+    programs; for k >= 14 the packed rounds always hand over at
+    PALLAS_MIN_SIZE/2 pairs, so one compiled scan covers every such k."""
+    from . import fiat_shamir as fs
+
+    t_cnt, l_, n2 = stacked_p.shape
+    psize = n2 // 2
+
+    def step(carry, j):
+        stacked, sum_m, off_m, lo, hi, blo, bhi = carry
+        rnd = rnd0 + j
+        live = live0 >> j
+        mask = (jnp.arange(psize, dtype=jnp.uint32) < live).astype(
+            jnp.uint32
+        )
+        id_step = stp_stack[rnd]
+        id_mul = idmul_stack[rnd]
+        id_off = limb._add_jax(spec, off_m, id_step)
+        evals = _tape_round_body(
+            spec, tape_static, degree, use_identity, stacked, instrs,
+            consts, id_mul, id_off, id_step, mask,
+        )
+        (msg, ch, ch_mont, nsum, noff, lo, hi, blo, bhi) = (
+            fs._round_message_body(
+                spec, degree, nbytes, evals, sum_m, off_m,
+                lo, hi, blo, bhi, w_mont, pts_mont, id_step,
+            )
+        )
+        tf = jnp.transpose(stacked, (0, 2, 1)).reshape(t_cnt, psize, 2, l_)
+        folded = limb._fold_halves_jax(spec, tf[:, :, 0], tf[:, :, 1],
+                                       ch_mont)
+        folded = jnp.transpose(folded, (0, 2, 1))  # [T, L, psize]
+        stacked = jnp.concatenate(
+            [folded, jnp.zeros_like(folded)], axis=2
+        )
+        return (stacked, nsum, noff, lo, hi, blo, bhi), (msg, ch)
+
+    carry0 = (stacked_p, sum_mont, off_mont, sp_lo, sp_hi, buf_lo, buf_hi)
+    carry, (msgs, chs) = _jax.lax.scan(
+        step, carry0, jnp.arange(n_steps, dtype=jnp.uint32)
+    )
+    return carry, msgs, chs
 
 
 def _eq_xy_table(spec, y):
@@ -1049,6 +1176,15 @@ class ClassicSumCheck:
 
         msgs, chs = [], []
         packed = state.packed
+        from ..parallel import get_mesh
+
+        if config.fused_rounds() and get_mesh() is None:
+            return self._prove_device_fs_fused(
+                spec, num_vars, state, prover, aux, transcript,
+                table_keys, stacked, packed, sponge,
+                sum_mont, off_mont, w_mont, pts_mont,
+            )
+
         for round_ in range(num_vars):
             size = 1 << (num_vars - round_ - 1)
             evals = prover.evals_canon_device(
@@ -1074,6 +1210,104 @@ class ClassicSumCheck:
             chs.append(ch_canon)
 
         # ONE device->host transfer for everything the transcript needs
+        challenges = self._replay_device_fs(
+            spec, num_vars, state, aux, transcript, Evaluations, msgs, chs
+        )
+        state.stacked = stacked
+        state.packed = packed
+        state.round = num_vars
+        return challenges, state.into_evals()
+
+    def _prove_device_fs_fused(
+        self, spec, num_vars, state, prover, aux, transcript,
+        table_keys, stacked, packed, sponge,
+        sum_mont, off_mont, w_mont, pts_mont,
+    ) -> Tuple[List[Fp], List[Fp]]:
+        """Single-dispatch rounds (config.fused_rounds): each packed round
+        is ONE program (Pallas evals + device-FS message + fold), the
+        per-round constants live in device-resident [32, L] stacks sliced
+        by a carried round counter, and every remaining tape round runs
+        inside ONE lax.scan program.  A k=20 prove enqueues ~10 programs
+        instead of ~60 program+upload messages — the fixed per-round
+        latency on a network-tunneled TPU."""
+        from ..pallas import sumcheck as _psc
+        from . import fiat_shamir as fs
+        from .. import config
+
+        d = state.degree
+        idmul_np, stp_np = _round_const_stacks(spec)
+        idmul_stack = jnp.asarray(idmul_np)
+        stp_stack = jnp.asarray(stp_np)
+        rnd = jnp.uint32(0)
+        round_ = 0
+        msgs, chs = [], []
+
+        if packed:
+            use_id = ("identity",) in _psc._used_leaves(prover.expr)
+            while round_ < num_vars:
+                size = 1 << (num_vars - round_ - 1)
+                (msg, ch, stacked, rnd, sum_mont, off_mont,
+                 sp_lo, sp_hi, b_lo, b_hi) = _fused_packed_round_jit(
+                    spec, prover.expr, table_keys, d, use_id, sponge.nbytes,
+                    stacked, rnd, idmul_stack, stp_stack,
+                    sum_mont, off_mont,
+                    sponge.lo, sponge.hi, sponge.buf_lo, sponge.buf_hi,
+                    w_mont, pts_mont,
+                )
+                sponge = fs.DeviceSponge(sp_lo, sp_hi, b_lo, b_hi, 32)
+                msgs.append(msg)
+                chs.append(ch)
+                round_ += 1
+                if not _psc.usable(size // 2):
+                    stacked = _unpack_natural(spec, stacked)
+                    packed = False
+                    break
+
+        if round_ < num_vars and sponge.nbytes != 32:
+            # land the sponge on its 32-byte steady state (a fresh or
+            # host-imported transcript before any fused round) with one
+            # classic 3-program round, then scan the rest
+            from ..fields.spec import int_to_digits
+
+            size = 1 << (num_vars - round_ - 1)
+            evals = prover.evals_canon_device(
+                spec, stacked, table_keys, size, round_, off_mont, d,
+                packed=False,
+            )
+            step_mont = jnp.asarray(
+                int_to_digits(spec.to_mont((1 << round_) % spec.p))
+            )
+            (msg, ch, ch_mont, sum_mont, off_mont, sponge) = (
+                fs.round_message(
+                    spec, d, sponge, evals, sum_mont, off_mont,
+                    w_mont, pts_mont, step_mont,
+                )
+            )
+            stacked = _fold_all_dm_jax(spec, stacked, ch_mont)
+            msgs.append(msg)
+            chs.append(ch)
+            round_ += 1
+
+        if round_ < num_vars:
+            t, instrs, use_id_t = prover._tape_setup(spec, table_keys)
+            n_steps = num_vars - round_
+            live0 = 1 << (num_vars - round_ - 1)
+            assert stacked.shape[2] == 2 * live0
+            carry, msgs_t, chs_t = _fused_tail_scan_jit(
+                spec, (t.num_regs, t.out_reg), d, use_id_t, 32, n_steps,
+                stacked, rnd, jnp.uint32(live0), idmul_stack, stp_stack,
+                jnp.asarray(instrs), t.const_rows(spec),
+                sum_mont, off_mont,
+                sponge.lo, sponge.hi, sponge.buf_lo, sponge.buf_hi,
+                w_mont, pts_mont,
+            )
+            stacked = carry[0][:, :, :1]
+            if msgs:
+                msgs = jnp.concatenate([jnp.stack(msgs), msgs_t])
+                chs = jnp.concatenate([jnp.stack(chs), chs_t])
+            else:
+                msgs, chs = msgs_t, chs_t
+
         challenges = self._replay_device_fs(
             spec, num_vars, state, aux, transcript, Evaluations, msgs, chs
         )
