@@ -80,7 +80,17 @@ SCRIPT = textwrap.dedent(
 import pytest
 
 
-@pytest.mark.parametrize("family", ["gemini", "zeromorph", "ipa", "hyrax"])
+# ipa/hyrax: 5-9 min cold on a 4-core host (per-size EC-ladder compiles on
+# XLA CPU) — slow tier so the default run keeps its <5 min budget honest.
+@pytest.mark.parametrize(
+    "family",
+    [
+        "gemini",
+        "zeromorph",
+        pytest.param("ipa", marks=pytest.mark.slow),
+        pytest.param("hyrax", marks=pytest.mark.slow),
+    ],
+)
 def test_jax_mode_pcs_roundtrips(family):
     env = dict(os.environ)
     env.update(

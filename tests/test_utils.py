@@ -112,10 +112,10 @@ def test_roofline_models():
     from plonkish_tpu.fields.host import Fp
     from plonkish_tpu.models.circuits import rand_vanilla_plonk_circuit
 
-    # MSM: n * windows * 11 mont-muls * 648 u32-muls
+    # MSM: n * windows * madd-2007-bl (7 mont-muls + 4 mont-sqrs)
     n = 1 << 18
     ops = roofline.msm_u32_mul_ops(BN254_G1, n)  # c=5 -> 52 windows
-    assert ops == n * 52 * 11 * 648
+    assert ops == n * 52 * (7 * 648 + 4 * 528)
     # at the BENCH_r02 throughput the Pallas MSM sits ~36% of the u32 peak
     pct = roofline.roofline_pct(ops, n / 929301.7, "tpu")
     assert 30 < pct < 45
