@@ -29,7 +29,47 @@ def _sample_size(k: int) -> int:
     return 1
 
 
+# Make dead runs loud (VERDICT r03 weak #4): a crash, OOM, or a
+# `timeout`-delivered SIGTERM mid-k appends an explicit
+# `# FAILED k=<k>: <reason>` row to the series file, so an empty header is
+# always a never-ran, never a silently-died run.
+_FAIL_NOTE = {"path": None, "k": None}
+
+
+def _fail_note(reason: str) -> None:
+    if _FAIL_NOTE["path"] is None:
+        return
+    try:
+        with open(_FAIL_NOTE["path"], "a") as f:
+            f.write(f"# FAILED k={_FAIL_NOTE['k']}: {reason}\n")
+    except OSError:
+        pass
+
+
+def _arm_failure_notes(out_path: str) -> None:
+    import signal
+
+    _FAIL_NOTE["path"] = out_path
+
+    def _on_signal(signum, frame):
+        _fail_note(f"killed by {signal.Signals(signum).name} (timeout?)")
+        signal.signal(signum, signal.SIG_DFL)
+        os.kill(os.getpid(), signum)
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(s, _on_signal)
+
+
 def main(argv=None) -> None:
+    try:
+        _main(argv)
+    except BaseException as e:  # noqa: BLE001 — note-and-reraise
+        if not isinstance(e, SystemExit):
+            _fail_note(f"{type(e).__name__}: {e}")
+        raise
+
+
+def _main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--system",
@@ -188,6 +228,7 @@ def main(argv=None) -> None:
             f" circuit={args.circuit} pcs={args.pcs} backend={args.backend}"
             f" k={args.k}\n"
         )
+    _arm_failure_notes(out_path)
     if args.breakdown:
         timer.set_enabled(True)
 
@@ -214,6 +255,7 @@ def main(argv=None) -> None:
 
         assert args.circuit == "vanilla_plonk", "zero_check: vanilla only"
         for k in ks:
+            _FAIL_NOTE["k"] = k
             rng = random.Random(42)
             circuit_info, circuit = circuit_fn(
                 spec, k, random.Random(42), random.Random(4242)
@@ -314,6 +356,7 @@ def main(argv=None) -> None:
 
         assert args.circuit == "vanilla_plonk", "univariate backend: vanilla only"
         for k in ks:
+            _FAIL_NOTE["k"] = k
             backend = UnivariatePlonk()
             spec = backend.field_spec
             circuit_info, circuit = circuit_fn(
@@ -345,6 +388,7 @@ def main(argv=None) -> None:
 
         scheme_cls = Protostar if args.system == "protostar" else Sangria
         for k in ks:
+            _FAIL_NOTE["k"] = k
             pcs = make_pcs(args.pcs)
             spec = pcs.field_spec
             circuit_info, _ = circuit_fn(
@@ -375,6 +419,7 @@ def main(argv=None) -> None:
         return
 
     for k in ks:
+        _FAIL_NOTE["k"] = k
         pcs = make_pcs(args.pcs)
         spec = pcs.field_spec
         circuit_info, circuit = circuit_fn(
