@@ -215,8 +215,17 @@ def permutation_z_polys(
                 ]
             )
         )
+        # Row-blocked term products on one chip: at k>=21 the unblocked
+        # program keeps [2L+1, P, n] mont-mul conv temps live for the whole
+        # phase and the XLA:TPU compile OOMs HBM (r03 session log: 17.6G of
+        # 15.75G at k=21).  A lax.scan over 2^18-row blocks bounds the temps
+        # at block size.  Under a mesh the hypercube axis is sharded (per-
+        # device slices are already small) so the fused form stands.
+        row_block = None
+        if parallel.get_mesh() is None and n >= (1 << 20):
+            row_block = 1 << 18
         z, closing = _z_polys_jax(
-            spec, num_vars, num_chunks, chunk_size,
+            spec, num_vars, num_chunks, chunk_size, row_block,
             perm_evals, wit_evals, offsets,
             jnp.asarray(beta_c), jnp.asarray(gamma_c),
             jnp.asarray(bh.iter_array[1:]), jnp.asarray(bh.nth_map),
@@ -292,9 +301,9 @@ def permutation_z_polys(
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
 def _z_polys_jax(
-    spec, num_vars: int, nc: int, chunk_size: int,
+    spec, num_vars: int, nc: int, chunk_size: int, row_block,
     perm_evals, wit_evals, offsets, beta, gamma, order_bs, nth_map,
 ):
     """Fused permutation-z phase: [P, n, L] permutation/witness tables ->
@@ -303,15 +312,11 @@ def _z_polys_jax(
     Same math as the eager path below (prover.rs:252-345): per chunk
     Π(id_i + beta·i + gamma + w_i) / Π(id_i + beta·sigma_i + gamma + w_i),
     with ONE global batched inversion across all chunks and the BH-ordered
-    prefix-product scan inline."""
+    prefix-product scan inline.  With `row_block` set (single chip, large
+    n), the numerator/denominator chunk products run as a lax.scan over
+    row blocks so mont-mul conv temps stay [2L+1, P, row_block] instead of
+    [2L+1, P, n]."""
     p_cnt, n, l_ = perm_evals.shape
-    denom_terms = limb._add_jax(
-        spec,
-        limb._add_jax(
-            spec, limb._mont_mul_jax(spec, beta, perm_evals), gamma
-        ),
-        wit_evals,
-    )  # [P, n, L]
     b = jnp.arange(n, dtype=jnp.uint32)
     ident = jnp.concatenate(
         [
@@ -321,35 +326,71 @@ def _z_polys_jax(
         axis=-1,
     )
     ident = limb._mont_mul_jax(spec, ident, jnp.asarray(spec.r2_digits))
-    id_vals = limb._add_jax(spec, ident[None], offsets[:, None])  # [P, n, L]
-    numer_terms = limb._add_jax(
-        spec,
-        limb._add_jax(
-            spec, limb._mont_mul_jax(spec, beta, id_vals), gamma
-        ),
-        wit_evals,
-    )
 
-    denoms, numers = [], []
-    for c in range(nc):
-        lo = c * chunk_size
-        hi = min(lo + chunk_size, p_cnt)
-        d_c = n_c = None
-        for j in range(lo, hi):
-            d_c = denom_terms[j] if d_c is None else limb._mont_mul_jax(
-                spec, d_c, denom_terms[j]
-            )
-            n_c = numer_terms[j] if n_c is None else limb._mont_mul_jax(
-                spec, n_c, numer_terms[j]
-            )
-        denoms.append(d_c)
-        numers.append(n_c)
+    def chunk_products(denom_terms, numer_terms):
+        # per-chunk running products over the (tiny) column dimension
+        denoms, numers = [], []
+        for c in range(nc):
+            lo = c * chunk_size
+            hi = min(lo + chunk_size, p_cnt)
+            d_c = n_c = None
+            for j in range(lo, hi):
+                d_c = denom_terms[j] if d_c is None else limb._mont_mul_jax(
+                    spec, d_c, denom_terms[j]
+                )
+                n_c = numer_terms[j] if n_c is None else limb._mont_mul_jax(
+                    spec, n_c, numer_terms[j]
+                )
+            denoms.append(d_c)
+            numers.append(n_c)
+        return jnp.stack(denoms), jnp.stack(numers)  # [nc, rows, L]
+
+    def terms(perm_rows, wit_rows, ident_rows):
+        denom_terms = limb._add_jax(
+            spec,
+            limb._add_jax(
+                spec, limb._mont_mul_jax(spec, beta, perm_rows), gamma
+            ),
+            wit_rows,
+        )  # [P, rows, L]
+        id_vals = limb._add_jax(
+            spec, ident_rows[None], offsets[:, None]
+        )  # [P, rows, L]
+        numer_terms = limb._add_jax(
+            spec,
+            limb._add_jax(
+                spec, limb._mont_mul_jax(spec, beta, id_vals), gamma
+            ),
+            wit_rows,
+        )
+        return chunk_products(denom_terms, numer_terms)
+
+    if row_block is not None and n > row_block:
+        nb = n // row_block
+        perm_b = jnp.moveaxis(
+            perm_evals.reshape(p_cnt, nb, row_block, l_), 1, 0
+        )
+        wit_b = jnp.moveaxis(
+            wit_evals.reshape(p_cnt, nb, row_block, l_), 1, 0
+        )
+        ident_b = ident.reshape(nb, row_block, l_)
+
+        def body(_, xs):
+            return None, terms(*xs)
+
+        _, (denoms_b, numers_b) = jax.lax.scan(
+            body, None, (perm_b, wit_b, ident_b)
+        )  # [nb, nc, row_block, L]
+        denoms = jnp.moveaxis(denoms_b, 0, 1).reshape(nc, n, l_)
+        numers = jnp.moveaxis(numers_b, 0, 1).reshape(nc, n, l_)
+    else:
+        denoms, numers = terms(perm_evals, wit_evals, ident)
     # one global batched inversion (each chunk's was a separate Fermat
     # exponentiation before)
-    denom_inv = limb.batch_inv(
-        spec, jnp.stack(denoms).reshape(nc * n, l_)
+    denom_inv = limb._batch_inv_jax(
+        spec, denoms.reshape(nc * n, l_)
     ).reshape(nc, n, l_)
-    stacked = limb._mont_mul_jax(spec, jnp.stack(numers), denom_inv)
+    stacked = limb._mont_mul_jax(spec, numers, denom_inv)
 
     seq = stacked[:, order_bs]  # [nc, n-1, L]
     seq_full = jnp.swapaxes(seq, 0, 1).reshape((n - 1) * nc, l_)

@@ -152,3 +152,42 @@ def test_padd_wide_equivalence():
         (2, 0, 1),
     ))(p, q)
     assert np.array_equal(np.asarray(want), np.asarray(wide))
+
+
+def test_z_polys_row_blocked_equivalence():
+    # the row-blocked (lax.scan over row blocks) permutation-z path must be
+    # bit-identical to the fused one — it exists purely to bound HBM temps
+    # at k>=21 on a single chip (r03 TPU session OOM)
+    from plonkish_tpu.backend.hyperplonk.prover import _z_polys_jax
+    from plonkish_tpu.fields.spec import int_to_digits
+    from plonkish_tpu.utils.bh import BooleanHypercube
+
+    num_vars, p_cnt, nc = 6, 3, 3
+    n = 1 << num_vars
+    chunk_size = -(-p_cnt // nc)
+    perm = jnp.asarray(asnp(rand_mont(p_cnt * n))).reshape(p_cnt, n, limb.L)
+    wit = jnp.asarray(asnp(rand_mont(p_cnt * n))).reshape(p_cnt, n, limb.L)
+    offsets = jnp.asarray(
+        np.stack(
+            [
+                int_to_digits(SPEC.to_mont((g << num_vars) % SPEC.p))
+                for g in range(p_cnt)
+            ]
+        )
+    )
+    beta = jnp.asarray(asnp(rand_mont(1))[0])
+    gamma = jnp.asarray(asnp(rand_mont(1))[0])
+    bh = BooleanHypercube(num_vars)
+    order_bs = jnp.asarray(bh.iter_array[1:])
+    nth_map = jnp.asarray(bh.nth_map)
+
+    fused = _z_polys_jax(
+        SPEC, num_vars, nc, chunk_size, None,
+        perm, wit, offsets, beta, gamma, order_bs, nth_map,
+    )
+    blocked = _z_polys_jax(
+        SPEC, num_vars, nc, chunk_size, 16,
+        perm, wit, offsets, beta, gamma, order_bs, nth_map,
+    )
+    assert np.array_equal(asnp(fused[0]), asnp(blocked[0]))
+    assert np.array_equal(asnp(fused[1]), asnp(blocked[1]))
