@@ -1041,28 +1041,62 @@ class CoefficientsProver:
         return Coefficients([c0, c1, c2])
 
 
+# Row block for the fused coeff round at large sizes: without it the XLA:TPU
+# AOT compile of the k=20 round-0 program keeps hundreds of [L, T, size]
+# mont-mul conv temps live and OOMs HBM (r04 session: 30.0G of 15.75G).
+_COEFF_ROW_BLOCK = 1 << 16
+
+
 @_functools.partial(_jax.jit, static_argnums=0)
 def _coeff_round_jax(spec, eq_tbls, p_tbls, scalar_digits, mask):
     """Fused degree-2 karatsuba round (coeff.rs:133-208): [T, 2*size, L]
     eq/poly tables + [T, L] Montgomery scalars -> [2, L] (c0, c2) totals.
-    `mask` zeroes zero-padded rows of small rounds."""
+    `mask` zeroes zero-padded rows of small rounds.
+
+    Sizes above _COEFF_ROW_BLOCK run as a lax.scan over row blocks (partial
+    [2, T, L] sums accumulated mod p per block), bounding the live mont-mul
+    temps at block size."""
     t, n2, l_ = eq_tbls.shape
     size = n2 // 2
-    eq = eq_tbls.reshape(t, size, 2, l_)
-    p = p_tbls.reshape(t, size, 2, l_)
-    lo = limb._mont_mul_jax(spec, eq[:, :, 0], p[:, :, 0])
-    diff = limb._mont_mul_jax(
-        spec,
-        limb._sub_jax(spec, eq[:, :, 1], eq[:, :, 0]),
-        limb._sub_jax(spec, p[:, :, 1], p[:, :, 0]),
-    )
-    keep = (mask > 0)[None, :, None]
-    lo = jnp.where(keep, lo, jnp.uint32(0))
-    diff = jnp.where(keep, diff, jnp.uint32(0))
-    # per-term sums, scale, then total: [T, size, L] -> [T, L] -> [L]
-    sums = limb._sum_reduce_jax(
-        spec, jnp.stack([lo, diff], axis=0).transpose(2, 0, 1, 3)
-    )  # [2, T, L]
+
+    def round_sums(eq, p, keep):
+        # eq/p: [T, rows, 2, L]; keep: [rows] bool -> [2, T, L] sums
+        lo = limb._mont_mul_jax(spec, eq[:, :, 0], p[:, :, 0])
+        diff = limb._mont_mul_jax(
+            spec,
+            limb._sub_jax(spec, eq[:, :, 1], eq[:, :, 0]),
+            limb._sub_jax(spec, p[:, :, 1], p[:, :, 0]),
+        )
+        k3 = keep[None, :, None]
+        lo = jnp.where(k3, lo, jnp.uint32(0))
+        diff = jnp.where(k3, diff, jnp.uint32(0))
+        return limb._sum_reduce_jax(
+            spec, jnp.stack([lo, diff], axis=0).transpose(2, 0, 1, 3)
+        )  # [2, T, L]
+
+    keep_all = mask > 0
+    if size > _COEFF_ROW_BLOCK:
+        nb = size // _COEFF_ROW_BLOCK
+        eq_b = jnp.moveaxis(
+            eq_tbls.reshape(t, nb, _COEFF_ROW_BLOCK, 2, l_), 1, 0
+        )
+        p_b = jnp.moveaxis(
+            p_tbls.reshape(t, nb, _COEFF_ROW_BLOCK, 2, l_), 1, 0
+        )
+        keep_b = keep_all.reshape(nb, _COEFF_ROW_BLOCK)
+
+        def body(acc, xs):
+            eq, p, keep = xs
+            return limb._add_jax(spec, acc, round_sums(eq, p, keep)), None
+
+        init = jnp.zeros((2, t, l_), jnp.uint32)
+        sums, _ = _jax.lax.scan(body, init, (eq_b, p_b, keep_b))
+    else:
+        sums = round_sums(
+            eq_tbls.reshape(t, size, 2, l_),
+            p_tbls.reshape(t, size, 2, l_),
+            keep_all,
+        )
     scaled = limb._mont_mul_jax(spec, sums, scalar_digits[None])
     totals = limb._sum_reduce_jax(spec, scaled.transpose(1, 0, 2))  # [2, L]
     one_ = jnp.zeros((limb.L,), jnp.uint32).at[0].set(1)

@@ -191,3 +191,24 @@ def test_z_polys_row_blocked_equivalence():
     )
     assert np.array_equal(asnp(fused[0]), asnp(blocked[0]))
     assert np.array_equal(asnp(fused[1]), asnp(blocked[1]))
+
+
+def test_coeff_round_row_blocked_equivalence(monkeypatch):
+    # the row-blocked coeff-round accumulation must match the fused one
+    # (it exists to bound HBM temps in the k>=20 batch-open — r04 OOM)
+    import jax
+
+    from plonkish_tpu.piop import sum_check as sc
+
+    t, size = 3, 64
+    eq = jnp.asarray(asnp(rand_mont(t * 2 * size))).reshape(t, 2 * size, limb.L)
+    p = jnp.asarray(asnp(rand_mont(t * 2 * size))).reshape(t, 2 * size, limb.L)
+    scal = jnp.asarray(asnp(rand_mont(t)))
+    mask = np.ones(size, np.uint32)
+    mask[-5:] = 0
+    with jax.disable_jit():
+        monkeypatch.setattr(sc, "_COEFF_ROW_BLOCK", 1 << 16)
+        fused = sc._coeff_round_jax(SPEC, eq, p, scal, jnp.asarray(mask))
+        monkeypatch.setattr(sc, "_COEFF_ROW_BLOCK", 8)
+        blocked = sc._coeff_round_jax(SPEC, eq, p, scal, jnp.asarray(mask))
+    assert np.array_equal(asnp(fused), asnp(blocked))
