@@ -93,13 +93,28 @@ def lookup_m_polys(
     np.unique over the union of table/input digit rows yields dense ids,
     then a bincount gives per-value multiplicities and a minimum-scatter
     finds each value's first table row (the reference keeps the first
-    occurrence, prover.rs:150-158).  No per-row Python loop remains."""
+    occurrence, prover.rs:150-158).  No per-row Python loop remains.
+
+    In jax mode the whole phase runs on device (`_lookup_m_jax`): a
+    lexicographic lax.sort over the packed Montgomery digit rows (equality
+    is Montgomery-invariant, so no from_mont round-trip), run-boundary
+    segment ids, a segment-sum of input multiplicities, and a segment-min
+    of first table rows — the host path serialized two full-poly device
+    fetches through a single-threaded np.unique."""
     import numpy as np
 
     out = []
     for (input_poly, table_poly) in compressed_polys:
         spec = input_poly.spec
         n = len(input_poly)
+        if not limb.IS_CPP:
+            m_digits, bad = _lookup_m_jax(
+                spec, input_poly.evals, table_poly.evals
+            )
+            if bool(bad):
+                raise ValueError("Invalid lookup input")
+            out.append(MLPoly(spec, m_digits))
+            continue
         inp = np.asarray(limb.from_mont(spec, input_poly.evals)).astype(
             np.uint16
         )
@@ -126,6 +141,51 @@ def lookup_m_polys(
         evals = limb.to_mont(spec, limb.xnp.asarray(digits))
         out.append(MLPoly(spec, evals))
     return out
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _lookup_m_jax(spec, inp_evals, tbl_evals):
+    """Device logUp m-counting (prover.rs:139-192 redesigned for TPU).
+
+    [n, L] Montgomery digit rows -> ([n, L] Montgomery m poly, scalar bool
+    "some input value is absent from the table").  Montgomery form is a
+    bijection, so equality tests sort the raw digit rows; 16-bit digit
+    pairs pack into 8 u32 lexicographic sort keys."""
+    n, l_ = inp_evals.shape
+    both = jnp.concatenate([tbl_evals, inp_evals], axis=0)  # [2n, L]
+    # pack digit pairs (most-significant first) into u32 sort keys
+    keys = [
+        both[:, 2 * i + 1] << jnp.uint32(16) | both[:, 2 * i]
+        for i in reversed(range(l_ // 2))
+    ]
+    is_input = jnp.concatenate(
+        [jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32)]
+    )
+    # table rows carry their row index; input rows carry n (identity of min)
+    row = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.full(n, n, jnp.int32)]
+    )
+    *sorted_keys, s_inp, s_row = jax.lax.sort(
+        (*keys, is_input, row), num_keys=len(keys)
+    )
+    prev = [jnp.concatenate([k[:1] ^ jnp.uint32(1), k[:-1]]) for k in sorted_keys]
+    new_run = jnp.zeros(2 * n, jnp.bool_)
+    for k, pk in zip(sorted_keys, prev):
+        new_run = new_run | (k != pk)
+    seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1  # [2n] segment ids
+    counts = jax.ops.segment_sum(s_inp, seg, num_segments=2 * n)
+    first_row = jax.ops.segment_min(s_row, seg, num_segments=2 * n)
+    # segments never touched keep the op identity (max int32) -> treat as n
+    first_row = jnp.minimum(first_row, n)
+    bad = jnp.any((first_row == n) & (counts > 0))
+    m = jnp.zeros(n, jnp.uint32).at[first_row].add(
+        counts.astype(jnp.uint32), mode="drop"
+    )
+    digits = jnp.zeros((n, l_), jnp.uint32)
+    digits = digits.at[:, 0].set(m & jnp.uint32(0xFFFF))
+    digits = digits.at[:, 1].set(m >> jnp.uint32(16))
+    r2 = jnp.asarray(spec.r2_digits)
+    return limb._mont_mul_jax(spec, digits, r2), bad
 
 
 def lookup_h_polys(

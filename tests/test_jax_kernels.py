@@ -212,3 +212,33 @@ def test_coeff_round_row_blocked_equivalence(monkeypatch):
         monkeypatch.setattr(sc, "_COEFF_ROW_BLOCK", 8)
         blocked = sc._coeff_round_jax(SPEC, eq, p, scal, jnp.asarray(mask))
     assert np.array_equal(asnp(fused), asnp(blocked))
+
+
+def test_lookup_m_device_equivalence():
+    # device sort/segment m-counting == host np.unique path, same m poly
+    from plonkish_tpu.backend.hyperplonk import prover as hp
+    from plonkish_tpu.poly.multilinear import MLPoly
+
+    n = 64
+    tbl_vals = [RNG.randrange(SPEC.p) for _ in range(n - 3)]
+    tbl_vals += [tbl_vals[0], tbl_vals[1], tbl_vals[1]]  # duplicate rows
+    inp_vals = [tbl_vals[RNG.randrange(n)] for _ in range(n)]
+    tbl = limb.to_mont(SPEC, limb.from_ints(tbl_vals))
+    inp = limb.to_mont(SPEC, limb.from_ints(inp_vals))
+
+    host = hp.lookup_m_polys([(MLPoly(SPEC, inp), MLPoly(SPEC, tbl))])[0]
+
+    m_dev, bad = hp._lookup_m_jax(
+        SPEC, jnp.asarray(asnp(inp)), jnp.asarray(asnp(tbl))
+    )
+    assert not bool(bad)
+    assert np.array_equal(asnp(host.evals), asnp(m_dev))
+
+    # an input value missing from the table must be flagged
+    inp_bad = limb.to_mont(
+        SPEC, limb.from_ints([v + 1 for v in inp_vals])
+    )
+    _, bad2 = hp._lookup_m_jax(
+        SPEC, jnp.asarray(asnp(inp_bad)), jnp.asarray(asnp(tbl))
+    )
+    assert bool(bad2)
