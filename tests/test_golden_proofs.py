@@ -115,3 +115,51 @@ def test_golden_protostar_decider():
         vp, acc_before_last, circuits[-1].instances(), r
     )
     _check_golden("protostar_kzg_decider_k3", proof)
+
+
+def _hyperplonk_proof_for(pcs, num_vars: int, circuit_fn) -> bytes:
+    spec = pcs.field_spec
+    circuit_info, circuit = circuit_fn(
+        spec, num_vars, random.Random(1), random.Random(2)
+    )
+    backend = HyperPlonk(pcs)
+    param = backend.setup(circuit_info, random.Random(0))
+    pp, vp = backend.preprocess(param, circuit_info)
+    transcript = Keccak256Transcript(spec)
+    backend.prove(pp, circuit, transcript)
+    proof = transcript.into_proof()
+    reader = Keccak256Transcript.from_proof(spec, proof)
+    backend.verify(vp, circuit.instances(), reader)
+    return proof
+
+
+@pytest.mark.parametrize("pcs_name", ["ipa", "hyrax", "gemini", "zeromorph"])
+def test_golden_hyperplonk_remaining_pcs(pcs_name):
+    """Freeze the proof byte format of every PCS the r03 fixtures left
+    uncovered (VERDICT r03 missing #5) — the fixtures are the only defense
+    of the transcript format absent a Rust toolchain for cross-checks."""
+    from plonkish_tpu.pcs.gemini import Gemini
+    from plonkish_tpu.pcs.hyrax import MultilinearHyrax
+    from plonkish_tpu.pcs.ipa import MultilinearIpa
+    from plonkish_tpu.pcs.zeromorph import Zeromorph
+
+    pcs = {
+        "ipa": MultilinearIpa, "hyrax": MultilinearHyrax,
+        "gemini": Gemini, "zeromorph": Zeromorph,
+    }[pcs_name]()
+    proof = _hyperplonk_proof_for(pcs, 5, rand_vanilla_plonk_circuit)
+    _check_golden(f"hyperplonk_{pcs_name}_k5", proof)
+
+
+def test_golden_hyperplonk_kzg_lookup():
+    """Freeze the lookup (logUp) transcript segment — m/h commitments and
+    the lookup sum-check were not pinned by any fixture."""
+    from plonkish_tpu.models.circuits import (
+        rand_vanilla_plonk_with_lookup_circuit,
+    )
+    from plonkish_tpu.pcs.kzg import MultilinearKzg
+
+    proof = _hyperplonk_proof_for(
+        MultilinearKzg(), 5, rand_vanilla_plonk_with_lookup_circuit
+    )
+    _check_golden("hyperplonk_kzg_lookup_k5", proof)

@@ -89,17 +89,22 @@ def test_corrupted_proof_rejected():
 
 
 @pytest.mark.parametrize(
+    "num_vars",
+    [2, 9, 12, pytest.param(16, marks=pytest.mark.slow)],
+)
+@pytest.mark.parametrize(
     "pcs_name", ["kzg", "gemini", "zeromorph", "ipa", "hyrax"]
 )
-def test_hyperplonk_all_pcs(pcs_name):
-    """HyperPlonk over every curve-based PCS (reference test matrix,
-    backend/hyperplonk.rs:398-426) at one size each."""
+def test_hyperplonk_all_pcs(pcs_name, num_vars):
+    """HyperPlonk over every curve-based PCS at sampled reference sizes
+    (the reference matrix runs k=2..16 per scheme,
+    backend/hyperplonk.rs:398-426) — k>=12 crosses the chunking/fold
+    thresholds the single-size round-trip missed (VERDICT r03 item 6)."""
     from plonkish_tpu.pcs.gemini import Gemini
     from plonkish_tpu.pcs.hyrax import MultilinearHyrax
     from plonkish_tpu.pcs.ipa import MultilinearIpa
     from plonkish_tpu.pcs.kzg import MultilinearKzg
     from plonkish_tpu.pcs.zeromorph import Zeromorph
-    from plonkish_tpu.fields import BN254_FQ
 
     pcs = {
         "kzg": lambda: MultilinearKzg(),
@@ -109,7 +114,6 @@ def test_hyperplonk_all_pcs(pcs_name):
         "hyrax": lambda: MultilinearHyrax(),
     }[pcs_name]()
     spec = pcs.field_spec
-    num_vars = 5
     circuit_info, circuit = rand_vanilla_plonk_circuit(
         spec, num_vars, random.Random(9), random.Random(10)
     )

@@ -94,9 +94,22 @@ def test_kzg_commit_open_verify(num_vars):
     run_commit_open_verify(MultilinearKzg(), num_vars)
 
 
-@pytest.mark.parametrize("num_vars", [3, 4])
+# reference batch matrix runs k=3..16 (pcs/multilinear.rs:293-406);
+# sample through the chunking thresholds, largest in the slow tier
+@pytest.mark.parametrize(
+    "num_vars", [3, 4, 12, pytest.param(16, marks=pytest.mark.slow)]
+)
 def test_kzg_batch_commit_open_verify(num_vars):
     run_batch_commit_open_verify(MultilinearKzg(), num_vars)
+
+
+@pytest.mark.parametrize(
+    "num_vars", [3, 10, pytest.param(16, marks=pytest.mark.slow)]
+)
+def test_brakedown_batch_commit_open_verify(num_vars):
+    run_batch_commit_open_verify(
+        MultilinearBrakedown(SPEC, BRAKEDOWN_SPEC_TEST), num_vars
+    )
 
 
 def test_kzg_bad_eval_rejected():
