@@ -62,6 +62,7 @@ def cost_breakdown(categories=None):
         "sum_check": ("zero_check", "sum_check"),
         "pcs": ("pcs_batch_open", "witness_commit"),
         "witness": ("witness_collector",),
+        "lookup_m": ("lookup_m_polys",),  # must precede the "lookup" prefix
         "lookup": ("lookup",),
         "permutation": ("permutation",),
     }

@@ -106,6 +106,10 @@ def test_hyperplonk_all_pcs(pcs_name, num_vars):
     from plonkish_tpu.pcs.kzg import MultilinearKzg
     from plonkish_tpu.pcs.zeromorph import Zeromorph
 
+    if pcs_name == "hyrax" and num_vars < 4:
+        # the reference asserts batch_size <= poly_size (hyrax.rs:123);
+        # the vanilla circuit's 12 committed columns need 2^k >= 12
+        pytest.skip("hyrax: batch_size <= poly_size (hyrax.rs:123)")
     pcs = {
         "kzg": lambda: MultilinearKzg(),
         "gemini": lambda: Gemini(),
