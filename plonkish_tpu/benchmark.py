@@ -432,6 +432,16 @@ def _main(argv=None) -> None:
         setup_s = time.perf_counter() - t0
 
         samples = args.samples or _sample_size(k)
+        cold_s = None
+        if args.backend == "jax":
+            # one untimed warm-up prove: XLA/Mosaic cold compiles at bench
+            # sizes are minutes and would otherwise be the entire k>=20
+            # "sample" (zero_check branch discards its first sample the
+            # same way)
+            tr = Keccak256Transcript(spec)
+            t0 = time.perf_counter()
+            backend.prove(pp, circuit, tr)
+            cold_s = time.perf_counter() - t0
         timer.reset_trace()
         prove_times = []
         proof = None
@@ -460,9 +470,14 @@ def _main(argv=None) -> None:
         avg_ms = sum(prove_times) / len(prove_times) * 1e3
         with open(out_path, "a") as f:
             f.write(f"{k}, {avg_ms:.3f}\n")
+        cold_note = (
+            f", first incl compile {cold_s * 1e3:.0f} ms"
+            if cold_s is not None
+            else ""
+        )
         print(
             f"k={k} pcs={args.pcs} backend={args.backend}: "
-            f"prove {avg_ms:.1f} ms (avg of {samples}), "
+            f"prove {avg_ms:.1f} ms (avg of {samples}{cold_note}), "
             f"setup+preprocess {setup_s * 1e3:.1f} ms, "
             f"verify {verify_s * 1e3:.1f} ms, proof {len(proof)} B",
             flush=True,
