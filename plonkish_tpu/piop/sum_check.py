@@ -379,16 +379,38 @@ import jax as _jax
 # one compiled round program (see _tape_round_jax)
 _TAPE_PAD_SIZE = 1 << 10
 
+# row-block for the flattened full-state fold (bounds the [2L+1, rows]
+# mont-mul temps at large k; see _fold_all_jax)
+_FOLD_ROW_BLOCK = 1 << 18
+
 
 @_functools.partial(_jax.jit, static_argnums=0)
 def _fold_all_jax(spec, stacked, challenge):
     # one stacked fold over [T, 2*size, L]: compiled program size is
-    # independent of the table count
+    # independent of the table count.  The table axis is flattened into the
+    # row axis so the mont-mul's wide-form temps are [2L+1, T*size] with a
+    # huge minor axis — keeping T as its own (tiny) axis let XLA:TPU lay
+    # the temps out T-minor with 8x tile padding and OOM HBM at k=20
+    # (r04 session log: 1.31G padding per 192M buffer in this very
+    # program).  Sizes past 2^18 rows also scan over row blocks to bound
+    # the live temps.
     t, n2, l_ = stacked.shape
-    pairs = stacked.reshape(t, n2 // 2, 2, l_)
-    return limb._fold_halves_jax(
-        spec, pairs[:, :, 0], pairs[:, :, 1], challenge
-    )
+    size = n2 // 2
+    pairs = stacked.reshape(t * size, 2, l_)
+    m = t * size
+    block = _FOLD_ROW_BLOCK
+    if size >= block and m % block == 0:
+        blocks = pairs.reshape(m // block, block, 2, l_)
+
+        def body(_, blk):
+            return None, limb._fold_halves_jax(
+                spec, blk[:, 0], blk[:, 1], challenge
+            )
+
+        _, out = _jax.lax.scan(body, None, blocks)
+        return out.reshape(t, size, l_)
+    out = limb._fold_halves_jax(spec, pairs[:, 0], pairs[:, 1], challenge)
+    return out.reshape(t, size, l_)
 
 
 @_functools.partial(_jax.jit, static_argnums=0)

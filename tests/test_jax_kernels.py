@@ -242,3 +242,36 @@ def test_lookup_m_device_equivalence():
         SPEC, jnp.asarray(asnp(inp_bad)), jnp.asarray(asnp(tbl))
     )
     assert bool(bad2)
+
+
+def test_fold_all_flattened_equivalence():
+    # _fold_all_jax (flattened + row-blocked) == per-table fold_pairs
+    from plonkish_tpu.piop.sum_check import _fold_all_jax
+
+    t, size = 3, 32
+    stacked = jnp.asarray(asnp(rand_mont(t * 2 * size))).reshape(
+        t, 2 * size, limb.L
+    )
+    ch = jnp.asarray(asnp(rand_mont(1))[0])
+    out = _fold_all_jax(SPEC, stacked, ch)
+    for ti in range(t):
+        want = limb._fold_pairs_jax(SPEC, stacked[ti], ch)
+        assert np.array_equal(asnp(out[ti]), asnp(want))
+
+
+def test_fold_all_row_blocked_equivalence(monkeypatch):
+    import jax
+
+    from plonkish_tpu.piop import sum_check as sc
+
+    t, size = 2, 64
+    stacked = jnp.asarray(asnp(rand_mont(t * 2 * size))).reshape(
+        t, 2 * size, limb.L
+    )
+    ch = jnp.asarray(asnp(rand_mont(1))[0])
+    with jax.disable_jit():
+        monkeypatch.setattr(sc, "_FOLD_ROW_BLOCK", 1 << 18)
+        flat = sc._fold_all_jax(SPEC, stacked, ch)
+        monkeypatch.setattr(sc, "_FOLD_ROW_BLOCK", 16)
+        blocked = sc._fold_all_jax(SPEC, stacked, ch)
+    assert np.array_equal(asnp(flat), asnp(blocked))
