@@ -367,7 +367,7 @@ def _main(argv=None) -> None:
             samples = args.samples or _sample_size(k)
             times = []
             proof = None
-            for _ in range(samples):
+            for _ in range(samples + (args.backend == "jax")):
                 tr = Keccak256Transcript(spec)
                 t0 = time.perf_counter()
                 backend.prove(pp, circuit, tr)
@@ -377,10 +377,17 @@ def _main(argv=None) -> None:
                 vp, circuit.instances(),
                 Keccak256Transcript.from_proof(spec, proof),
             )
+            cold_note = ""
+            if args.backend == "jax":
+                cold_note = f" (first incl compile {times[0] * 1e3:.0f} ms)"
+                times = times[1:]
             avg_ms = sum(times) / len(times) * 1e3
             with open(out_path, "a") as f:
                 f.write(f"{k}, {avg_ms:.3f}\n")
-            print(f"k={k} univariate_plonk prove avg {avg_ms:.1f} ms")
+            print(
+                f"k={k} univariate_plonk prove avg {avg_ms:.1f} ms"
+                f"{cold_note}", flush=True
+            )
         return
 
     if args.system in ("protostar", "sangria"):
@@ -400,7 +407,7 @@ def _main(argv=None) -> None:
             accumulator = scheme.init_accumulator(pp)
             samples = max(2, (args.samples or _sample_size(k)) // 2)
             fold_times = []
-            for i in range(samples):
+            for i in range(samples + (args.backend == "jax")):
                 _, circuit = circuit_fn(
                     spec, k, random.Random(42), random.Random(1000 + i)
                 )
@@ -409,12 +416,17 @@ def _main(argv=None) -> None:
                     pp, accumulator, circuit, Keccak256Transcript(spec)
                 )
                 fold_times.append(time.perf_counter() - t0)
+            cold_note = ""
+            if args.backend == "jax":
+                # first fold pays the XLA/Mosaic compiles — report, don't avg
+                cold_note = f", first incl compile {fold_times[0] * 1e3:.0f} ms"
+                fold_times = fold_times[1:]
             avg_ms = sum(fold_times) / len(fold_times) * 1e3
             with open(out_path, "a") as f:
                 f.write(f"{k}, {avg_ms:.3f}\n")
             print(
                 f"k={k} {args.system} fold avg {avg_ms:.1f} ms "
-                f"({len(fold_times)} folds)"
+                f"({len(fold_times)} folds{cold_note})", flush=True
             )
         return
 
