@@ -422,11 +422,32 @@ def _main(argv=None) -> None:
                 cold_note = f", first incl compile {fold_times[0] * 1e3:.0f} ms"
                 fold_times = fold_times[1:]
             avg_ms = sum(fold_times) / len(fold_times) * 1e3
+            # decider: one-shot proof of the accumulated instance
+            # (reference prove_decider_with_last_nark,
+            # accumulation/protostar/hyperplonk.rs:454-535; BASELINE
+            # config[4] wants fold AND decider timed)
+            _, last_circuit = circuit_fn(
+                spec, k, random.Random(42), random.Random(999)
+            )
+            acc_before = accumulator.instance.clone()
+            t0 = time.perf_counter()
+            tr = Keccak256Transcript(spec)
+            scheme.prove_decider_with_last_nark(
+                pp, accumulator, last_circuit, tr
+            )
+            decider_s = time.perf_counter() - t0
+            scheme.verify_decider_with_last_nark(
+                vp, acc_before, last_circuit.instances(),
+                Keccak256Transcript.from_proof(spec, tr.into_proof()),
+            )
             with open(out_path, "a") as f:
                 f.write(f"{k}, {avg_ms:.3f}\n")
+                f.write(f"# decider k={k}: {decider_s * 1e3:.3f} ms\n")
             print(
                 f"k={k} {args.system} fold avg {avg_ms:.1f} ms "
-                f"({len(fold_times)} folds{cold_note})", flush=True
+                f"({len(fold_times)} folds{cold_note}), decider "
+                f"{decider_s * 1e3:.1f} ms (incl compile, verified)",
+                flush=True,
             )
         return
 
