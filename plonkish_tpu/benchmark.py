@@ -460,7 +460,7 @@ def _main(argv=None) -> None:
         )
         backend = HyperPlonk(pcs)
         t0 = time.perf_counter()
-        param = backend.setup(circuit_info, random.Random(0))
+        param = _setup_cached(backend, circuit_info, k, args.pcs)
         pp, vp = backend.preprocess(param, circuit_info)
         setup_s = time.perf_counter() - t0
 
@@ -522,6 +522,69 @@ def _main(argv=None) -> None:
                 breakdown_ms[cat] = secs / samples * 1e3
                 print(f"    {cat:14s} {secs / samples * 1e3:9.2f} ms")
             _append_breakdown(out_path + ".breakdown.json", k, breakdown_ms)
+
+
+def _setup_cached(backend, circuit_info, k: int, pcs_name: str, seed=0):
+    """Disk-cache the KZG SRS across bench runs.
+
+    setup is deterministic in (seed, size) — `random.Random(seed)` drives
+    the trapdoor draw — so caching is sound; at k>=20 the fixed-base MSM
+    SRS build costs ~20 min on the tunneled TPU and gates every
+    measurement attempt."""
+    import random as _random
+
+    if pcs_name != "kzg":
+        return backend.setup(circuit_info, _random.Random(seed))
+    import json
+
+    import numpy as np
+
+    path = f"target/srs_cache/kzg_k{k}_seed{seed}.npz"
+    if os.path.exists(path):
+        from plonkish_tpu.curves.host import AffinePoint
+        from plonkish_tpu.curves.pairing import Fq2, G2Point
+        from plonkish_tpu.curves.specs import BN254_G1
+        from plonkish_tpu.fields.host import Fp
+        from plonkish_tpu.pcs.kzg import MultilinearKzgParams
+
+        with np.load(path) as z:
+            meta = json.loads(str(z["meta"]))
+            eqs = [z[f"eq{i}"] for i in range(meta["levels"])]
+        curve = BN254_G1
+        fq = curve.base
+
+        def pt(d):
+            return AffinePoint(curve, Fp(d[0], fq), Fp(d[1], fq))
+
+        def g2pt(d):
+            return G2Point(Fq2(d[0], d[1]), Fq2(d[2], d[3]))
+
+        import jax.numpy as jnp
+
+        return MultilinearKzgParams(
+            g1=pt(meta["g1"]),
+            eqs=[jnp.asarray(e) for e in eqs],
+            g2=g2pt(meta["g2"]),
+            ss=[g2pt(d) for d in meta["ss"]],
+        )
+    param = backend.setup(circuit_info, _random.Random(seed))
+    os.makedirs("target/srs_cache", exist_ok=True)
+    meta = {
+        "levels": len(param.eqs),
+        "g1": [int(param.g1.x), int(param.g1.y)],
+        "g2": [int(param.g2.x.a), int(param.g2.x.b),
+               int(param.g2.y.a), int(param.g2.y.b)],
+        "ss": [
+            [int(s.x.a), int(s.x.b), int(s.y.a), int(s.y.b)]
+            for s in param.ss
+        ],
+    }
+    arrays = {
+        f"eq{i}": np.asarray(e, dtype=np.uint32)
+        for i, e in enumerate(param.eqs)
+    }
+    np.savez(path, meta=json.dumps(meta), **arrays)
+    return param
 
 
 def _scaling_sweep(args, k: int, mesh_sizes, time_prove) -> None:
