@@ -253,21 +253,7 @@ class ProverState:
             )
             tables.update({("poly", *k): v for k, v in self.polys.items()})
             self.table_keys = tuple(sorted(tables))
-            if layout == "dm":
-                # per-table transposes ([n, L] -> [L, n]) are layout-safe
-                # (the lane axis is the big n); stacking them never builds
-                # a [.., n, L] rank-3 temp
-                stacked = jnp.stack(
-                    [tables[k].T for k in self.table_keys], axis=0
-                )
-                hyper_axis = 2
-            else:
-                stacked = jnp.stack(
-                    [tables[k] for k in self.table_keys], axis=0
-                )
-                hyper_axis = 1
             self.poly_keys = tuple(sorted(self.polys))
-            self.lagranges = self.eq_xys = self.polys = None
             from ..pallas import sumcheck as _psc
 
             if layout == "dm" and _psc.usable(self.size):
@@ -278,12 +264,37 @@ class ProverState:
                 # index-mapped views of one array — no strided pair-split
                 # copies).  Reverts to exact digits in natural order once
                 # the rounds fall below the Pallas threshold (next_round).
-                stacked = _psc.pack_digits_jit(stacked)
+                #
+                # Transpose+pack+bitrev run PER TABLE before the stack:
+                # stacking the unpacked [T, L, n] state first, then packing
+                # and permuting it, holds three full-size copies at the
+                # peak — the k=23 single-chip blocker (16 GB HBM).
                 rev = jnp.asarray(_psc.bitrev_perm(num_vars))
-                stacked = stacked[:, :, rev]
+                stacked = jnp.stack(
+                    [
+                        _pack_table_jit(tables[k], rev)
+                        for k in self.table_keys
+                    ],
+                    axis=0,
+                )
+                hyper_axis = 2
                 self.packed = True
-            else:
+            elif layout == "dm":
+                # per-table transposes ([n, L] -> [L, n]) are layout-safe
+                # (the lane axis is the big n); stacking them never builds
+                # a [.., n, L] rank-3 temp
+                stacked = jnp.stack(
+                    [tables[k].T for k in self.table_keys], axis=0
+                )
+                hyper_axis = 2
                 self.packed = False
+            else:
+                stacked = jnp.stack(
+                    [tables[k] for k in self.table_keys], axis=0
+                )
+                hyper_axis = 1
+                self.packed = False
+            self.lagranges = self.eq_xys = self.polys = None
             # Multi-chip: place the hypercube axis sharded over the active
             # mesh (high-order bits -> fix_var pairs stay shard-local);
             # GSPMD partitions the fused round programs and inserts the
@@ -374,6 +385,15 @@ def _unpack_natural(spec, stacked):
 import functools as _functools
 
 import jax as _jax
+
+@_functools.partial(_jax.jit, donate_argnums=())
+def _pack_table_jit(tbl, rev):
+    """One table [n, L] -> packed bit-reversed [W, n] (transpose + digit
+    pack + BH bit-reversal fused per table; see ProverState.__init__)."""
+    from ..pallas import sumcheck as _psc
+
+    return _psc.pack_digits(tbl.T)[:, rev]
+
 
 # tail sum-check rounds are zero-padded up to this many pairs so they share
 # one compiled round program (see _tape_round_jax)
