@@ -10,7 +10,9 @@ msm.rs:84-181 (serial per-thread buckets).  TPU redesign:
   accumulates its point stream with one branchless Jacobian mixed addition
   per grid step (struct-of-arrays digits — curves/device.py:_jmadd_soa);
 - buckets live in the OUTPUT block (VMEM-resident while the window index
-  is unchanged — the Pallas accumulator pattern), read/written densely via
+  is unchanged — the Pallas accumulator pattern), stored PACKED (two
+  16-bit digits per u32 word -> [3, PW=8, B] rows: half the VMEM traffic
+  and half the one-hot rows of exact digits), read/written densely via
   a one-hot select over the small bucket axis (TPUs have no atomics and
   scatters serialize; dense select over B=17 rows is pure VPU traffic);
 - the per-window weighted bucket reduction and the C-lane fold run in XLA
@@ -38,10 +40,15 @@ from ..fields.spec import FieldSpec
 L = limb.L
 
 
+PW = L // 2  # packed bucket words: two 16-bit digits per u32
+
+
 def _bucket_kernel(curve, B, T, xs_ref, ys_ref, inf_ref, idx_ref, sgn_ref,
                    blind_ref, out_ref):
-    """Grid (W, T).  out block [1, 3, L, B, S, LANE] = this window's bucket
-    state, accumulated across the T point blocks.
+    """Grid (W, T).  out block [1, 3, PW, B, S, LANE] = this window's bucket
+    state (digit PAIRS packed per u32 word — half the VMEM bucket traffic
+    and half the one-hot select rows of the exact-digit layout),
+    accumulated across the T point blocks.
 
     Buckets start at the blind point R (affine, blind_ref [2, L] SMEM), so
     the inner loop can use the doubling-free incomplete mixed addition —
@@ -52,13 +59,26 @@ def _bucket_kernel(curve, B, T, xs_ref, ys_ref, inf_ref, idx_ref, sgn_ref,
     spec = curve.base
     t = pl.program_id(1)
 
+    def packed_const(digits):
+        return [
+            np.uint32(int(digits[2 * w]) | (int(digits[2 * w + 1]) << 16))
+            for w in range(PW)
+        ]
+
     @pl.when(t == 0)
     def _init():
         zero = jnp.zeros(out_ref.shape[3:], dtype=jnp.uint32)
-        for d in range(L):
-            out_ref[0, 0, d] = zero + blind_ref[0, d]
-            out_ref[0, 1, d] = zero + blind_ref[1, d]
-            out_ref[0, 2, d] = zero + np.uint32(spec.r_digits[d])  # Mont 1
+        bl = [blind_ref[0, d] for d in range(L)]
+        bl2 = [blind_ref[1, d] for d in range(L)]
+        one_w = packed_const(spec.r_digits)  # Mont 1
+        for w in range(PW):
+            out_ref[0, 0, w] = zero + (
+                bl[2 * w] | (bl[2 * w + 1] << jnp.uint32(16))
+            )
+            out_ref[0, 1, w] = zero + (
+                bl2[2 * w] | (bl2[2 * w + 1] << jnp.uint32(16))
+            )
+            out_ref[0, 2, w] = zero + one_w[w]
 
     x2 = [xs_ref[d] for d in range(L)]  # each [S, LANE]
     y2 = [ys_ref[d] for d in range(L)]
@@ -68,8 +88,8 @@ def _bucket_kernel(curve, B, T, xs_ref, ys_ref, inf_ref, idx_ref, sgn_ref,
 
     y2 = soa.select(sg, soa.neg(spec, y2), y2)
 
-    # Per-bucket-row loads/stores: materializing the whole [3, L, B, S,
-    # LANE] block (out_ref[0]) costs 3*L*B vregs of register pressure and
+    # Per-bucket-row loads/stores: materializing the whole [3, PW, B, S,
+    # LANE] block (out_ref[0]) costs 3*PW*B vregs of register pressure and
     # spills dominate the step (measured 134us/step vs ~10us of math).
     mask = [None] * B
     for b in range(B):
@@ -77,27 +97,29 @@ def _bucket_kernel(curve, B, T, xs_ref, ys_ref, inf_ref, idx_ref, sgn_ref,
 
     def gather(c):
         digs = []
-        for d in range(L):
+        for w in range(PW):
             acc = jnp.zeros(ix.shape, jnp.uint32)
             for b in range(B):
-                acc = jnp.where(mask[b], out_ref[0, c, d, b], acc)
-            digs.append(acc)
+                acc = jnp.where(mask[b], out_ref[0, c, w, b], acc)
+            digs.append(acc & jnp.uint32(0xFFFF))
+            digs.append(acc >> jnp.uint32(16))
         return digs
 
     cur = (gather(0), gather(1), gather(2))
     nx, ny, nz = _jmadd_soa_incomplete(curve, cur, x2, y2, inf2)
     for c, nd in ((0, nx), (1, ny), (2, nz)):
-        for d in range(L):
+        for w in range(PW):
+            word = nd[2 * w] | (nd[2 * w + 1] << jnp.uint32(16))
             for b in range(B):
-                out_ref[0, c, d, b] = jnp.where(
-                    mask[b], nd[d], out_ref[0, c, d, b]
+                out_ref[0, c, w, b] = jnp.where(
+                    mask[b], word, out_ref[0, c, w, b]
                 )
 
 
 def _reduce_kernel(curve, B, in_ref, out_ref):
-    """Grid (W,): one window's [1, 3, L, B, S, LANE] bucket block ->
-    weighted bucket sum folded across all S*LANE lanes; result in lane
-    (0, 0) of the [1, 3, L, S, LANE] out block.
+    """Grid (W,): one window's [1, 3, PW, B, S, LANE] packed bucket block
+    -> weighted bucket sum folded across all S*LANE lanes; result in lane
+    (0, 0) of the [1, 3, L, S, LANE] out block (exact digits).
 
     Weighted reduction is the running-sum trick (msm.rs:166-179) as a
     fori_loop of two full Jacobian adds per bucket at (S, LANE) width;
@@ -119,10 +141,15 @@ def _reduce_kernel(curve, B, in_ref, out_ref):
     def bucket_body(i, carry):
         running, acc = carry
         j = B - 1 - i
-        bj = tuple(
-            [in_ref[0, ci, d, j] for d in range(L)] for ci in range(3)
-        )
-        running = _jadd_soa(curve, running, bj)
+        bj = []
+        for ci in range(3):
+            digs = []
+            for w in range(PW):
+                v = in_ref[0, ci, w, j]
+                digs.append(v & jnp.uint32(0xFFFF))
+                digs.append(v >> jnp.uint32(16))
+            bj.append(digs)
+        running = _jadd_soa(curve, running, tuple(bj))
         acc = _jadd_soa(curve, acc, running)
         return (running, acc)
 
@@ -208,10 +235,10 @@ def _msm_windows_pallas_jit(curve, inputs, c, num_windows, sublanes):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 3, L, b, s, LANE), lambda wi, ti: (wi, 0, 0, 0, 0, 0),
+            (1, 3, PW, b, s, LANE), lambda wi, ti: (wi, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((w, 3, L, b, s, LANE), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((w, 3, PW, b, s, LANE), jnp.uint32),
         interpret=interpret_mode(),
     )(xs, ys, inf_t, idx_t, sgn_t, blind)
 
@@ -220,7 +247,7 @@ def _msm_windows_pallas_jit(curve, inputs, c, num_windows, sublanes):
         grid=(w,),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, L, b, s, LANE), lambda wi: (wi, 0, 0, 0, 0, 0),
+                (1, 3, PW, b, s, LANE), lambda wi: (wi, 0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -99,7 +99,8 @@ def msm_hbm_bytes(curve, n: int, c: Optional[int] = None) -> int:
     c = c or window_size(n)
     num_windows = -(-curve.scalar.num_bits // c) + 1
     point_stream = n * num_windows * (2 * 16 * 4 + 8)
-    bucket_flush = num_windows * ((1 << (c - 1)) + 1) * 3 * 16 * 4 * 1024
+    # bucket state is packed (two 16-bit digits per u32, pallas/msm.py PW)
+    bucket_flush = num_windows * ((1 << (c - 1)) + 1) * 3 * 8 * 4 * 1024
     return point_stream + bucket_flush
 
 
