@@ -33,15 +33,33 @@ def _sample_size(k: int) -> int:
 # `timeout`-delivered SIGTERM mid-k appends an explicit
 # `# FAILED k=<k>: <reason>` row to the series file, so an empty header is
 # always a never-ran, never a silently-died run.
-_FAIL_NOTE = {"path": None, "k": None}
+#
+# The run header itself is written LAZILY, together with the first row
+# (VERDICT r04 weak #4): a SIGKILL — which no handler can catch — then
+# leaves *no trace* rather than a bare header that reads as a silent
+# death.  `header` holds the pending text until the first append.
+_FAIL_NOTE = {"path": None, "k": None, "header": None}
+
+
+def _append_series(path: str, text: str) -> None:
+    """Append a data/FAILED row, emitting the pending run header first."""
+    with open(path, "a") as f:
+        if _FAIL_NOTE["header"] is not None and path == _FAIL_NOTE["path"]:
+            f.write(_FAIL_NOTE["header"])
+            _FAIL_NOTE["header"] = None
+        f.write(text)
 
 
 def _fail_note(reason: str) -> None:
     if _FAIL_NOTE["path"] is None:
         return
+    # exception text can be a multi-KB XLA allocation dump: keep the series
+    # file parseable — first line only, capped
+    reason = reason.splitlines()[0][:200] if reason else reason
     try:
-        with open(_FAIL_NOTE["path"], "a") as f:
-            f.write(f"# FAILED k={_FAIL_NOTE['k']}: {reason}\n")
+        _append_series(
+            _FAIL_NOTE["path"], f"# FAILED k={_FAIL_NOTE['k']}: {reason}\n"
+        )
     except OSError:
         pass
 
@@ -142,6 +160,10 @@ def _main(argv=None) -> None:
         # are minutes each, paid once per (kernel, size)
         import jax
 
+        if os.environ.get("PLONKISH_TPU_FORCE_CPU"):
+            # sitecustomize pins JAX_PLATFORMS=axon; this is the only way
+            # to run the jax backend on host CPU (diagnosis / CI boxes)
+            jax.config.update("jax_platforms", "cpu")
         cache = (
             "/tmp/plonkish_tpu_jax_cache_tpu"
             if jax.default_backend() == "tpu"
@@ -222,12 +244,11 @@ def _main(argv=None) -> None:
     # skip '#' lines; "last row per k wins" resolves re-measurements.
     import datetime
 
-    with open(out_path, "a") as f:
-        f.write(
-            f"# run {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds')}"
-            f" circuit={args.circuit} pcs={args.pcs} backend={args.backend}"
-            f" k={args.k}\n"
-        )
+    _FAIL_NOTE["header"] = (
+        f"# run {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds')}"
+        f" circuit={args.circuit} pcs={args.pcs} backend={args.backend}"
+        f" k={args.k}\n"
+    )
     _arm_failure_notes(out_path)
     if args.breakdown:
         timer.set_enabled(True)
@@ -318,8 +339,7 @@ def _main(argv=None) -> None:
             cold_ms = times[0] * 1e3
             times = times[1:]
             avg_ms = sum(times) / len(times) * 1e3
-            with open(out_path, "a") as f:
-                f.write(f"{k}, {avg_ms:.3f}\n")
+            _append_series(out_path, f"{k}, {avg_ms:.3f}\n")
             # %-of-roofline per SURVEY §5 / BASELINE: useful modmul ops of
             # the whole k-round prove against the measured u32-mul peak.
             import jax
@@ -382,8 +402,7 @@ def _main(argv=None) -> None:
                 cold_note = f" (first incl compile {times[0] * 1e3:.0f} ms)"
                 times = times[1:]
             avg_ms = sum(times) / len(times) * 1e3
-            with open(out_path, "a") as f:
-                f.write(f"{k}, {avg_ms:.3f}\n")
+            _append_series(out_path, f"{k}, {avg_ms:.3f}\n")
             print(
                 f"k={k} univariate_plonk prove avg {avg_ms:.1f} ms"
                 f"{cold_note}", flush=True
@@ -440,9 +459,11 @@ def _main(argv=None) -> None:
                 vp, acc_before, last_circuit.instances(),
                 Keccak256Transcript.from_proof(spec, tr.into_proof()),
             )
-            with open(out_path, "a") as f:
-                f.write(f"{k}, {avg_ms:.3f}\n")
-                f.write(f"# decider k={k}: {decider_s * 1e3:.3f} ms\n")
+            _append_series(
+                out_path,
+                f"{k}, {avg_ms:.3f}\n"
+                f"# decider k={k}: {decider_s * 1e3:.3f} ms\n",
+            )
             print(
                 f"k={k} {args.system} fold avg {avg_ms:.1f} ms "
                 f"({len(fold_times)} folds{cold_note}), decider "
@@ -501,8 +522,7 @@ def _main(argv=None) -> None:
         verify_s = time.perf_counter() - t0
 
         avg_ms = sum(prove_times) / len(prove_times) * 1e3
-        with open(out_path, "a") as f:
-            f.write(f"{k}, {avg_ms:.3f}\n")
+        _append_series(out_path, f"{k}, {avg_ms:.3f}\n")
         cold_note = (
             f", first incl compile {cold_s * 1e3:.0f} ms"
             if cold_s is not None
@@ -608,12 +628,12 @@ def _scaling_sweep(args, k: int, mesh_sizes, time_prove) -> None:
     virtual = jax.default_backend() == "cpu"
     path = "target/bench/scaling"
     os.makedirs("target/bench", exist_ok=True)
-    with open(path, "a") as f:
-        f.write(
-            f"# run {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds')}"
-            f" system={args.system} k={k} backend={jax.default_backend()}"
-            f" metric={'T1/TN (virtual, shared cores)' if virtual else 'T1/(N*TN)'}\n"
-        )
+    # lazy header, same SIGKILL-proofing as the per-system series files
+    header = (
+        f"# run {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds')}"
+        f" system={args.system} k={k} backend={jax.default_backend()}"
+        f" metric={'T1/TN (virtual, shared cores)' if virtual else 'T1/(N*TN)'}\n"
+    )
     base_ms = None
     for nd in mesh_sizes:
         ctx = (
@@ -628,6 +648,9 @@ def _scaling_sweep(args, k: int, mesh_sizes, time_prove) -> None:
             base_ms = avg_ms if virtual else avg_ms * mesh_sizes[0]
         eff = base_ms / avg_ms if virtual else base_ms / (nd * avg_ms)
         with open(path, "a") as f:
+            if header is not None:
+                f.write(header)
+                header = None
             f.write(f"{k}, {nd}, {avg_ms:.3f}, {100 * eff:.1f}\n")
         print(
             f"k={k} mesh={nd}: avg {avg_ms:.1f} ms, "

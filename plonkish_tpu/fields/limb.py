@@ -551,6 +551,19 @@ def prefix_mul(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return _prefix_mul_jax(spec, a)
 
 
+# Above this many leading-axis elements, prefix products and batched
+# inversion switch to row-blocked lax.scan variants: a mont_mul over a
+# full [n, L] tensor materializes several n-sized widened temps (digit
+# products, carry chains), and at n = 2^22 XLA's schedule for the flat
+# prefix/suffix formulation wants >5 GB of HLO temps — the k=22 z-polys
+# HBM blowup (r5; same family as the r4 row-blocked round kernels, see
+# docs/PERF_NOTES.md).  Blocked, every full-size multiply lives inside a
+# [BLOCK]-sized scan iteration, so peak extra memory is O(BLOCK) + the
+# unavoidable input/output.
+_BLOCK_THRESHOLD = 1 << 21
+_BLOCK = 1 << 19
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _prefix_mul_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix product along axis 0.
@@ -559,10 +572,13 @@ def _prefix_mul_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     the multiply body is traced exactly twice, keeping compile time flat while
     runtime stays ~2√n sequential vector multiplies.  Replaces the reference's
     serial running products (prover.rs:307-323) and is the building block for
-    batched inversion."""
+    batched inversion.  Large inputs take the row-blocked path (see
+    _BLOCK_THRESHOLD)."""
     n = a.shape[0]
     if n == 1:
         return a
+    if n > _BLOCK_THRESHOLD:
+        return _prefix_mul_blocked_jax(spec, a)
     k = 1 << max(1, (n.bit_length() // 2))
     g = -(-n // k)
     pad = g * k - n
@@ -588,6 +604,79 @@ def _prefix_mul_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return out[:n]
 
 
+def _pad_to_blocks(spec: FieldSpec, a: jnp.ndarray):
+    """Pad axis 0 with ones to a multiple of _BLOCK; -> ([B, m, ..., L], n)."""
+    n = a.shape[0]
+    m = _BLOCK
+    nb = -(-n // m)
+    pad = nb * m - n
+    if pad:
+        a = jnp.concatenate([a, one(spec, (pad, *a.shape[1:-1]))], axis=0)
+    return a.reshape(nb, m, *a.shape[1:]), n
+
+
+def _prefix_mul_blocked_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Row-blocked inclusive prefix product: scan over _BLOCK-sized blocks
+    carrying the running product, in-block prefixes via the two-level scan.
+    Peak extra memory is O(_BLOCK) instead of O(n)."""
+    blocks, n = _pad_to_blocks(spec, a)
+
+    def body(carry, blk):
+        lp = _prefix_mul_jax(spec, blk)  # [m, ..., L]
+        out = _mont_mul_jax(spec, carry[None], lp)
+        return out[-1], out
+
+    _, out = jax.lax.scan(body, one(spec, a.shape[1:-1]), blocks)
+    return out.reshape(-1, *a.shape[1:])[:n]
+
+
+def _batch_inv_blocked_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Row-blocked Montgomery batch inversion (see _batch_inv_jax).
+
+    Pass 1 scans blocks to get per-block totals and the grand product;
+    pass 2 rescans, recomputing in-block prefix/suffix products and
+    combining with the per-block exclusive prefix (C) / suffix (E) of the
+    totals: inv_i = C_b·lp_excl_i · E_b·ls_excl_i · total_inv.  Recomputes
+    one in-block prefix pair instead of materializing n-sized prefix,
+    suffix, left and right tensors at once."""
+    z = is_zero(a)
+    safe = jnp.where(z[..., None], one(spec, a.shape[:-1]), a)
+    blocks, n = _pad_to_blocks(spec, safe)
+
+    def tot_body(carry, blk):
+        lp = _prefix_mul_jax(spec, blk)
+        t = lp[-1]
+        return _mont_mul_jax(spec, carry, t), (carry, t)
+
+    total, (c_excl, totals) = jax.lax.scan(
+        tot_body, one(spec, a.shape[1:-1]), blocks
+    )
+    total_inv = _inv_jax(spec, total[None])[0]
+
+    def suf_body(carry, t):
+        return _mont_mul_jax(spec, carry, t), carry
+
+    _, e_excl_rev = jax.lax.scan(
+        suf_body, one(spec, a.shape[1:-1]), totals[::-1]
+    )
+    e_excl = e_excl_rev[::-1]  # [B, ..., L]: product of totals after b
+
+    def inv_body(_, xs):
+        blk, c_b, e_b = xs
+        lp = _prefix_mul_jax(spec, blk)
+        ls = _prefix_mul_jax(spec, blk[::-1])[::-1]
+        left = jnp.concatenate([c_b[None], _mont_mul_jax(spec, c_b[None], lp[:-1])], axis=0)
+        right = jnp.concatenate([_mont_mul_jax(spec, e_b[None], ls[1:]), e_b[None]], axis=0)
+        out = _mont_mul_jax(
+            spec, _mont_mul_jax(spec, left, right), total_inv[None]
+        )
+        return None, out
+
+    _, out = jax.lax.scan(inv_body, None, (blocks, c_excl, e_excl))
+    out = out.reshape(-1, *a.shape[1:])[:n]
+    return jnp.where(z[..., None], jnp.zeros_like(out), out)
+
+
 def batch_inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     if IS_CPP:
         shape = a.shape
@@ -608,6 +697,8 @@ def _batch_inv_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     n = a.shape[0]
     if n == 1:
         return _inv_jax(spec, a)
+    if n > _BLOCK_THRESHOLD:
+        return _batch_inv_blocked_jax(spec, a)
     z = is_zero(a)
     safe = jnp.where(z[..., None], one(spec, a.shape[:-1]), a)
 

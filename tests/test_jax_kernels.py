@@ -80,6 +80,25 @@ def test_prefix_mul_equivalence():
     )
 
 
+def test_blocked_prefix_and_batch_inv(monkeypatch):
+    """The row-blocked large-n variants (k>=22 z-polys HBM fix) are
+    bit-identical to the flat formulations, including zeros and a
+    non-multiple-of-block length."""
+    monkeypatch.setattr(limb, "_BLOCK", 64)
+    a = rand_mont(1000)
+    a = limb.set_index(a, 17, np.zeros(16, dtype=np.uint32))
+    a = limb.set_index(a, 999, np.zeros(16, dtype=np.uint32))
+    aj = jnp.asarray(asnp(a))
+    assert np.array_equal(
+        asnp(limb._prefix_mul_jax(SPEC, aj)),
+        asnp(limb._prefix_mul_blocked_jax(SPEC, aj)),
+    )
+    assert np.array_equal(
+        asnp(limb._batch_inv_jax(SPEC, aj)),
+        asnp(limb._batch_inv_blocked_jax(SPEC, aj)),
+    )
+
+
 def test_ec_equivalence():
     curve = BN254_G1
     g = AffinePoint.generator(curve)
