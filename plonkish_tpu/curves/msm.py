@@ -30,7 +30,7 @@ from __future__ import annotations
 import functools
 import math
 import os
-from typing import List, Sequence
+from typing import List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -504,19 +504,54 @@ def _msm_windows_jit(curve, inputs, c, num_windows, num_chunks):
     return _bucket_reduce_wide(curve, buckets)
 
 
+class NormalizedPoints(NamedTuple):
+    """Affine-normalized MSM basis (see pallas.msm.normalize_points_jit).
+
+    Pass one of these as `points` to variable_base_msm when the same basis
+    is used across many MSMs (the KZG SRS): the per-call 2^k batch
+    inversion disappears."""
+
+    x: jnp.ndarray  # [N, L]
+    y: jnp.ndarray  # [N, L]
+    inf: jnp.ndarray  # [N] bool
+
+
+def _norm_to_projective(curve, norm: NormalizedPoints) -> jnp.ndarray:
+    """Rebuild [N, 3, L] projective (z=0 encodes identity) for the MSM
+    paths that want the packed form (host/narrow/sharded)."""
+    spec = curve.base
+    x, y, inf = norm
+    one_ = limb.one(spec, (x.shape[0],))
+    z = jnp.where(inf[:, None], jnp.uint32(0), one_)
+    xz = jnp.where(inf[:, None], jnp.uint32(0), x)
+    # identity encodes as (0, 1, 0) — from_affine_host's convention, and
+    # what the native ec_msm's complete formulas expect
+    yz = jnp.where(inf[:, None], one_, y)
+    return jnp.stack([xz, yz, z], axis=1)
+
+
 def variable_base_msm(
     curve: CurveSpec,
     scalars: Sequence[Fp] | jnp.ndarray,
-    points: jnp.ndarray,
+    points: jnp.ndarray | NormalizedPoints,
     num_chunks: int | None = None,
 ) -> AffinePoint:
-    """MSM of canonical scalars against device projective points [N, 3, L]."""
+    """MSM of canonical scalars against device projective points [N, 3, L]
+    (or a pre-normalized NormalizedPoints basis)."""
     if isinstance(scalars, (list, tuple)):
         scalars = limb.from_ints([int(s) for s in scalars])
-    n = points.shape[0]
+    norm = None
+    if isinstance(points, NormalizedPoints):
+        norm = points
+        n = norm.x.shape[0]
+        points = None
+    else:
+        n = points.shape[0]
     assert scalars.shape[0] == n
     if n == 0:
         return AffinePoint.identity(curve)
+    if points is None and limb.IS_CPP:
+        points = _norm_to_projective(curve, norm)
     if limb.IS_CPP:
         from ..ops import field_cpp as _cpp
 
@@ -554,6 +589,8 @@ def variable_base_msm(
         ):
             from ..parallel.sharded import sharded_msm
 
+            if points is None:
+                points = _norm_to_projective(curve, norm)
             return sharded_msm(
                 curve, mesh, scalars, points.reshape(n, 3, limb.L)
             )
@@ -561,6 +598,9 @@ def variable_base_msm(
     # 15-27% fewer windows for 2-4x bucket state; msm.rs:8-14 analogue)
     c_env = _os.environ.get("PLONKISH_TPU_MSM_C")
     c = int(c_env) if c_env else window_size(n)
+    if points is None and kernel != "pallas":
+        # only the pallas kernel consumes the normalized triple directly
+        points = _norm_to_projective(curve, norm)
     if kernel == "host":
         import numpy as _np
 
@@ -573,15 +613,17 @@ def variable_base_msm(
         )
         return to_affine_host(curve, out[None])[0]
     if kernel == "pallas":
-        from ..pallas.msm import _msm_windows_pallas_jit
+        from ..pallas.msm import _msm_windows_pallas_jit, normalize_points_jit
         from .device import jacobian_to_affine_host
 
         num_windows = -(-curve.scalar.num_bits // c) + 1
         sublanes = int(_os.environ.get("PLONKISH_TPU_MSM_SUBLANES", 8))
         blind, blind_digits = _blind_point(curve)
+        if norm is None:
+            norm = normalize_points_jit(curve, points.reshape(n, 3, limb.L))
         windows = _msm_windows_pallas_jit(
             curve,
-            (scalars, points.reshape(n, 3, limb.L), blind_digits),
+            (scalars, *norm, blind_digits),
             c, num_windows, sublanes,
         )
         window_points = jacobian_to_affine_host(curve, windows)

@@ -452,9 +452,21 @@ def redc(spec: FieldSpec, t_lazy: jnp.ndarray, relax_rounds: int = 2) -> jnp.nda
 
 
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product a*b*R^{-1} mod p over digit tensors."""
+    """Montgomery product a*b*R^{-1} mod p over digit tensors.
+
+    Eager [n, L] calls with huge n are row-block-scanned: a flat 2^22-wide
+    multiply's widened temps abort the TPU compile (see
+    mont_mul_rows_blocked).  Calls from inside larger jit programs use
+    _mont_mul_jax directly and manage their own blocking."""
     if IS_CPP:
         return _cpp.mul(spec, a, b)
+    if (
+        a.ndim == 2
+        and a.shape[0] > _BLOCK_THRESHOLD
+        and (b.ndim < 2 or b.shape[0] == a.shape[0])
+    ):
+        bb = b if b.ndim == 2 else jnp.broadcast_to(b, a.shape)
+        return mont_mul_rows_blocked(spec, a, bb)
     return _mont_mul_jax(spec, a, b)
 
 
@@ -627,6 +639,25 @@ def _prefix_mul_blocked_jax(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
         return out[-1], out
 
     _, out = jax.lax.scan(body, one(spec, a.shape[1:-1]), blocks)
+    return out.reshape(-1, *a.shape[1:])[:n]
+
+
+def mont_mul_rows_blocked(spec: FieldSpec, a: jnp.ndarray,
+                          b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise mont_mul over [n, ..., L] operands, scanned in _BLOCK
+    rows when n is huge — a flat full-width multiply materializes ~20
+    n-sized widened temps (digit products, carries), which is an HBM
+    compile abort at n = 2^22 (the normalize_points_jit lesson, r5)."""
+    n = a.shape[0]
+    if n <= _BLOCK_THRESHOLD:
+        return _mont_mul_jax(spec, a, b)
+    blocks_a, _ = _pad_to_blocks(spec, a)
+    blocks_b, _ = _pad_to_blocks(spec, b)
+
+    def body(_, xs):
+        return None, _mont_mul_jax(spec, xs[0], xs[1])
+
+    _, out = jax.lax.scan(body, None, (blocks_a, blocks_b))
     return out.reshape(-1, *a.shape[1:])[:n]
 
 

@@ -175,30 +175,45 @@ def _reduce_kernel(curve, B, in_ref, out_ref):
             out_ref[0, ci, d] = acc[ci][d]
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def normalize_points_jit(curve, points):
+    """Projective [N, 3, L] -> affine (x, y, inf[N]) for the bucket kernel.
+
+    Loop-invariant for a fixed basis (the KZG SRS): callers that commit
+    against the same point table repeatedly should normalize ONCE and pass
+    the triple to variable_base_msm — the 2^k batch inversion here was
+    ~a third of every commit's cost when recomputed per MSM (r5)."""
+    spec = curve.base
+    z = points[:, 2]
+    zinv = limb._batch_inv_jax(spec, z)  # zeros stay zero
+    # blocked products: at 2^22 points the flat full-width multiplies are
+    # an HBM compile abort (limb.mont_mul_rows_blocked docstring)
+    x = limb.mont_mul_rows_blocked(spec, points[:, 0], zinv)
+    y = limb.mont_mul_rows_blocked(spec, points[:, 1], zinv)
+    inf = jnp.all(z == 0, axis=-1)  # [N]
+    return x, y, inf
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _msm_windows_pallas_jit(curve, inputs, c, num_windows, sublanes):
     """Fused MSM window sums via the Pallas bucket kernel.
 
-    ONE device program: signed digit decomposition, affine normalization,
-    the Pallas bucket grid, and the XLA chunk-fold + weighted bucket
-    reduction.  Returns Jacobian window sums [W, 3, L], each offset by the
-    blind multiple (B(B-1)/2)·C·R that the caller subtracts on host."""
+    ONE device program: signed digit decomposition, the Pallas bucket grid,
+    and the XLA chunk-fold + weighted bucket reduction.  Takes the basis
+    pre-normalized (x, y, inf — see normalize_points_jit).  Returns
+    Jacobian window sums [W, 3, L], each offset by the blind multiple
+    (B(B-1)/2)·C·R that the caller subtracts on host."""
     from ..curves.msm import _signed_window_digits
 
     spec = curve.base
-    scalars, points, blind = inputs
-    n = points.shape[0]
+    scalars, x, y, inf, blind = inputs
+    n = x.shape[0]
     w = num_windows
     b = (1 << (c - 1)) + 1
     s = sublanes
     tile = s * LANE
 
     idx, sign = _signed_window_digits(scalars, c, w)  # [W, N]
-    z = points[:, 2]
-    zinv = limb._batch_inv_jax(spec, z)  # zeros stay zero
-    x = limb._mont_mul_jax(spec, points[:, 0], zinv)
-    y = limb._mont_mul_jax(spec, points[:, 1], zinv)
-    inf = jnp.all(z == 0, axis=-1)  # [N]
 
     pad = (-n) % tile
     if pad:

@@ -49,7 +49,7 @@ class Gemini:
         from ..curves.msm import variable_base_msm
 
         return variable_base_msm(
-            self.curve, scalars, pp.powers_of_s_g1[: poly.evals.shape[0]]
+            self.curve, scalars, pp.basis(poly.evals.shape[0])
         )
 
     def batch_commit(self, pp, polys):
@@ -117,7 +117,7 @@ class Gemini:
         return variable_base_msm(
             self.curve,
             limb.from_mont(spec, tensor),
-            pp.powers_of_s_g1[: tensor.shape[0]],
+            pp.basis(tensor.shape[0]),
         )
 
     def batch_open(self, pp, polys, comms, points, evals, transcript):

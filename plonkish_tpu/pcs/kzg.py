@@ -67,13 +67,31 @@ class MultilinearKzgParams:
 class MultilinearKzgProverParams:
     g1: AffinePoint
     eqs: List[jnp.ndarray]
+    # lazily-filled affine-normalized bases, keyed by prefix size: the SRS
+    # is reused across every commit/open of a prove, so the per-MSM 2^k
+    # batch inversion (pallas.msm.normalize_points_jit) is paid once here
+    _eq_norm: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     @property
     def num_vars(self) -> int:
         return len(self.eqs) - 1
 
-    def eq(self, num_vars: int) -> jnp.ndarray:
-        return self.eqs[num_vars]
+    def eq(self, num_vars: int):
+        """MSM basis for a 2^num_vars commit — normalized + cached on the
+        jax path (variable_base_msm accepts the NormalizedPoints triple),
+        raw projective on the native host path."""
+        if limb.IS_CPP:
+            return self.eqs[num_vars]
+        if num_vars not in self._eq_norm:
+            from ..curves.msm import NormalizedPoints
+            from ..pallas.msm import normalize_points_jit
+
+            self._eq_norm[num_vars] = NormalizedPoints(
+                *normalize_points_jit(self.g1.curve, self.eqs[num_vars])
+            )
+        return self._eq_norm[num_vars]
 
 
 @dataclasses.dataclass

@@ -58,10 +58,31 @@ class UnivariateKzgParam:
 class UnivariateKzgProverParam:
     g1: AffinePoint
     powers_of_s_g1: object
+    # lazily-normalized affine basis (see pcs/kzg.py eq()): one batch
+    # inversion for the whole SRS, sliced per commit
+    _norm: object = dataclasses.field(default=None, repr=False, compare=False)
 
     @property
     def degree(self) -> int:
         return self.powers_of_s_g1.shape[0] - 1
+
+    def basis(self, n: int):
+        """MSM basis for the first n powers — NormalizedPoints on the jax
+        path, raw projective on the native host path."""
+        if limb.IS_CPP:
+            return self.powers_of_s_g1[:n]
+        if self._norm is None:
+            from ..curves.msm import NormalizedPoints
+            from ..pallas.msm import normalize_points_jit
+
+            self._norm = NormalizedPoints(
+                *normalize_points_jit(self.g1.curve, self.powers_of_s_g1)
+            )
+        from ..curves.msm import NormalizedPoints
+
+        return NormalizedPoints(
+            self._norm.x[:n], self._norm.y[:n], self._norm.inf[:n]
+        )
 
 
 @dataclasses.dataclass
@@ -126,7 +147,7 @@ class UnivariateKzg:
         else:
             scalars = limb.from_ints([int(c) for c in coeffs])
         return variable_base_msm(
-            self.curve, scalars, pp.powers_of_s_g1[: scalars.shape[0]]
+            self.curve, scalars, pp.basis(scalars.shape[0])
         )
 
     def commit(self, pp, poly: UniPoly) -> AffinePoint:

@@ -97,7 +97,7 @@ class Zeromorph:
         return variable_base_msm(
             self.curve,
             limb.from_mont(spec, poly.evals),
-            pp.commit_pp.powers_of_s_g1[: poly.evals.shape[0]],
+            pp.commit_pp.basis(poly.evals.shape[0]),
         )
 
     def batch_commit(self, pp, polys):
@@ -133,7 +133,7 @@ class Zeromorph:
                 variable_base_msm(
                     self.curve,
                     limb.from_mont(spec, q),
-                    pp.commit_pp.powers_of_s_g1[: q.shape[0]],
+                    pp.commit_pp.basis(q.shape[0]),
                 )
             )
 
@@ -158,7 +158,7 @@ class Zeromorph:
             variable_base_msm(
                 self.curve,
                 limb.from_mont(spec, q_hat),
-                pp.commit_pp.powers_of_s_g1[:n],
+                pp.commit_pp.basis(n),
             )
         )
 

@@ -165,7 +165,10 @@ def check_msm(n=1 << 12, c=None, sublanes=None, verify=True):
     from plonkish_tpu.curves.host import AffinePoint, msm_host
     from plonkish_tpu.curves.msm import _blind_point, window_size
     from plonkish_tpu.curves.specs import BN254_G1
-    from plonkish_tpu.pallas.msm import _msm_windows_pallas_jit
+    from plonkish_tpu.pallas.msm import (
+        _msm_windows_pallas_jit,
+        normalize_points_jit,
+    )
 
     curve = BN254_G1
     c = c or window_size(n)
@@ -173,11 +176,8 @@ def check_msm(n=1 << 12, c=None, sublanes=None, verify=True):
     w = -(-curve.scalar.num_bits // c) + 1
     scalars_int, pts, dev, scal = _msm_inputs(n)
     blind, blind_digits = _blind_point(curve)
-    args = (
-        jnp.asarray(np.asarray(scal)),
-        jnp.asarray(np.asarray(dev)),
-        blind_digits,
-    )
+    norm = normalize_points_jit(curve, jnp.asarray(np.asarray(dev)))
+    args = (jnp.asarray(np.asarray(scal)), *norm, blind_digits)
 
     t0 = time.time()
     windows = _msm_windows_pallas_jit(curve, args, c, w, s)

@@ -53,7 +53,10 @@ def test_vanilla_plonk_with_lookup(num_vars):
     )
 
 
-@pytest.mark.parametrize("num_vars", [12, 14, 16])
+@pytest.mark.parametrize(
+    "num_vars", [12, pytest.param(14, marks=pytest.mark.slow),
+                 pytest.param(16, marks=pytest.mark.slow)]
+)
 def test_vanilla_plonk_with_lookup_large_kzg(num_vars):
     """Large-k coverage past the chunking/fold thresholds (the reference
     harness runs k=2..16, backend/hyperplonk.rs:398-426; KZG here because

@@ -99,6 +99,30 @@ def test_blocked_prefix_and_batch_inv(monkeypatch):
     )
 
 
+def test_normalized_points_msm():
+    """variable_base_msm over a pre-normalized basis (the cached-SRS commit
+    path, pcs/kzg.py eq()) matches the projective path and the host
+    Pippenger, identity in the stream included."""
+    from plonkish_tpu.curves.device import from_affine_host
+    from plonkish_tpu.curves.host import msm_host
+    from plonkish_tpu.curves.msm import NormalizedPoints, variable_base_msm
+    from plonkish_tpu.fields.host import Fp
+    from plonkish_tpu.pallas.msm import normalize_points_jit
+
+    curve = BN254_G1
+    g = AffinePoint.generator(curve)
+    n = 48
+    pts = [g.scalar_mul(RNG.randrange(1, 10000)) for _ in range(n)]
+    pts[5] = AffinePoint.identity(curve)
+    scalars = [RNG.randrange(curve.scalar.p) for _ in range(n)]
+    dev = jnp.asarray(asnp(from_affine_host(curve, pts)))
+    scal = jnp.asarray(asnp(limb.from_ints(scalars)))
+    norm = NormalizedPoints(*normalize_points_jit(curve, dev))
+    expect = msm_host([Fp(s, curve.scalar) for s in scalars], pts)
+    assert variable_base_msm(curve, scal, dev) == expect
+    assert variable_base_msm(curve, scal, norm) == expect
+
+
 def test_ec_equivalence():
     curve = BN254_G1
     g = AffinePoint.generator(curve)

@@ -162,7 +162,10 @@ def test_pallas_msm_bucket_kernel():
     from plonkish_tpu.curves.host import AffinePoint, msm_host
     from plonkish_tpu.curves.msm import _blind_point
     from plonkish_tpu.curves.specs import BN254_G1
-    from plonkish_tpu.pallas.msm import _msm_windows_pallas_jit
+    from plonkish_tpu.pallas.msm import (
+        _msm_windows_pallas_jit,
+        normalize_points_jit,
+    )
 
     curve = BN254_G1
     n, c, w = 96, 5, 4  # scalars < 2^14 keep signed digits in windows 0..3
@@ -174,13 +177,10 @@ def test_pallas_msm_bucket_kernel():
     scal = limb.from_ints(scalars_int)
 
     blind, blind_digits = _blind_point(curve)
+    norm = normalize_points_jit(curve, jnp.asarray(np.asarray(dev)))
     windows = _msm_windows_pallas_jit(
         curve,
-        (
-            jnp.asarray(np.asarray(scal)),
-            jnp.asarray(np.asarray(dev)),
-            blind_digits,
-        ),
+        (jnp.asarray(np.asarray(scal)), *norm, blind_digits),
         c, w, 8,
     )
     window_points = jacobian_to_affine_host(curve, windows)

@@ -222,7 +222,9 @@ def test_zeromorph_batch():
     run_batch_commit_open_verify(Zeromorph(), 3)
 
 
-@pytest.mark.parametrize("num_vars", [2, 4, 10, 14])
+@pytest.mark.parametrize(
+    "num_vars", [2, 4, 10, pytest.param(14, marks=pytest.mark.slow)]
+)
 def test_ipa_commit_open_verify(num_vars):
     from plonkish_tpu.pcs.ipa import MultilinearIpa
 
@@ -235,7 +237,9 @@ def test_ipa_batch():
     run_batch_commit_open_verify(MultilinearIpa(), 3)
 
 
-@pytest.mark.parametrize("num_vars", [5, 6, 10, 14])
+@pytest.mark.parametrize(
+    "num_vars", [5, 6, 10, pytest.param(14, marks=pytest.mark.slow)]
+)
 def test_hyrax_commit_open_verify(num_vars):
     from plonkish_tpu.pcs.hyrax import MultilinearHyrax
 
