@@ -92,12 +92,13 @@ def from_ints(values, spec: FieldSpec | None = None) -> jnp.ndarray:
     if not isinstance(values, (list, tuple)):
         values = list(np.asarray(values, dtype=object).reshape(-1))
     blob = b"".join(int(v).to_bytes(32, "little") for v in values)
-    out = (
-        np.frombuffer(blob, dtype="<u2")
-        .reshape(len(values), L)
-        .astype(np.uint32)
-    )
-    return out if IS_CPP else jnp.asarray(out)
+    out16 = np.frombuffer(blob, dtype="<u2").reshape(len(values), L)
+    if IS_CPP:
+        return out16.astype(np.uint32)
+    # upload the 16-bit digits and widen on device: halves the host->device
+    # bytes (the witness upload is ~2 GB/prove at k=23 in u32 form, and the
+    # tunnel link is the bottleneck of witness_collector)
+    return jnp.asarray(out16).astype(jnp.uint32)
 
 
 def to_ints(digits) -> np.ndarray:
