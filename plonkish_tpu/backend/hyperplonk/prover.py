@@ -385,7 +385,11 @@ def _z_polys_jax(
         ],
         axis=-1,
     )
-    ident = limb._mont_mul_jax(spec, ident, jnp.asarray(spec.r2_digits))
+    # blocked above 2^21 rows: a flat full-width mont_mul's widened temps
+    # are an HBM compile abort at k>=23 (limb.mont_mul_rows_blocked)
+    ident = limb.mont_mul_rows_blocked(
+        spec, ident, jnp.broadcast_to(jnp.asarray(spec.r2_digits), ident.shape)
+    )
 
     def chunk_products(denom_terms, numer_terms):
         # per-chunk running products over the (tiny) column dimension
@@ -449,8 +453,10 @@ def _z_polys_jax(
     # exponentiation before)
     denom_inv = limb._batch_inv_jax(
         spec, denoms.reshape(nc * n, l_)
+    )  # row-block-scanned internally above 2^21 rows
+    stacked = limb.mont_mul_rows_blocked(
+        spec, numers.reshape(nc * n, l_), denom_inv
     ).reshape(nc, n, l_)
-    stacked = limb._mont_mul_jax(spec, numers, denom_inv)
 
     seq = stacked[:, order_bs]  # [nc, n-1, L]
     seq_full = jnp.swapaxes(seq, 0, 1).reshape((n - 1) * nc, l_)

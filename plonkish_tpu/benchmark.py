@@ -579,11 +579,12 @@ def _setup_cached(backend, circuit_info, k: int, pcs_name: str, seed=0):
         def g2pt(d):
             return G2Point(Fq2(d[0], d[1]), Fq2(d[2], d[3]))
 
-        import jax.numpy as jnp
-
+        # host arrays: the SRS stays in RAM; pp.eq() uploads the normalized
+        # triple on first use (device-resident projective tables were the
+        # k=22 ResourceExhausted, see MultilinearKzg.setup)
         return MultilinearKzgParams(
             g1=pt(meta["g1"]),
-            eqs=[jnp.asarray(e) for e in eqs],
+            eqs=list(eqs),
             g2=g2pt(meta["g2"]),
             ss=[g2pt(d) for d in meta["ss"]],
         )

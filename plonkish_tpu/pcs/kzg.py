@@ -40,15 +40,23 @@ import jax as _jax
 def _quotient_step_jax(spec, remainder, x_digits):
     """One multilinear-quotient step (pcs/multilinear.rs:72-107):
     (quotient, remainder) of dividing by (X_var - x) — fused so each
-    variable costs one device dispatch instead of four."""
+    variable costs one device dispatch instead of four.  The two products
+    row-block above 2^21 rows (flat full-width mont_mul temps abort the
+    k>=23 compile; see limb.mont_mul_rows_blocked)."""
     half = remainder.shape[0] // 2
     lo, hi = remainder[:half], remainder[half:]
     quotient = limb._sub_jax(spec, hi, lo)
     new_rem = limb._add_jax(
-        spec, limb._mont_mul_jax(spec, quotient, x_digits), lo
+        spec,
+        limb.mont_mul_rows_blocked(
+            spec, quotient, jnp.broadcast_to(x_digits, quotient.shape)
+        ),
+        lo,
     )
     one_ = jnp.zeros((limb.L,), jnp.uint32).at[0].set(1)
-    return new_rem, limb._mont_mul_jax(spec, quotient, one_)
+    return new_rem, limb.mont_mul_rows_blocked(
+        spec, quotient, jnp.broadcast_to(one_, quotient.shape)
+    )
 
 
 @dataclasses.dataclass
@@ -81,16 +89,22 @@ class MultilinearKzgProverParams:
     def eq(self, num_vars: int):
         """MSM basis for a 2^num_vars commit — normalized + cached on the
         jax path (variable_base_msm accepts the NormalizedPoints triple),
-        raw projective on the native host path."""
+        raw projective on the native host path.
+
+        The projective table is RELEASED once normalized: holding both was
+        +1.6 GB of HBM at k=22 and tipped the e2e prove into runtime
+        ResourceExhausted (r5).  The normalized triple is strictly smaller
+        (no z column) and every MSM path can rebuild projective from it."""
         if limb.IS_CPP:
             return self.eqs[num_vars]
-        if num_vars not in self._eq_norm:
+        if self._eq_norm.get(num_vars) is None:
             from ..curves.msm import NormalizedPoints
             from ..pallas.msm import normalize_points_jit
 
             self._eq_norm[num_vars] = NormalizedPoints(
                 *normalize_points_jit(self.g1.curve, self.eqs[num_vars])
             )
+            self.eqs[num_vars] = None
         return self._eq_norm[num_vars]
 
 
@@ -128,7 +142,16 @@ class MultilinearKzg:
 
         eqs = []
         for level in eq_scalars:
-            eqs.append(fixed_base_msm(self.curve, g1, level))
+            tbl = fixed_base_msm(self.curve, g1, level)
+            if not limb.IS_CPP:
+                # keep the SRS on HOST: a device-resident projective table
+                # set is ~1.6 GB of HBM at k=22 pinned for the whole prove
+                # (the r5 ResourceExhausted); the normalized triple uploads
+                # transiently in pp.eq() when first used
+                import numpy as _np
+
+                tbl = _np.asarray(tbl, dtype=_np.uint32)
+            eqs.append(tbl)
 
         g2 = G2Point.generator()
         ss_g2 = [g2.scalar_mul(int(s)) for s in ss]

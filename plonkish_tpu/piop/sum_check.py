@@ -1086,7 +1086,14 @@ class CoefficientsProver:
 # Row block for the fused coeff round at large sizes: without it the XLA:TPU
 # AOT compile of the k=20 round-0 program keeps hundreds of [L, T, size]
 # mont-mul conv temps live and OOMs HBM (r04 session: 30.0G of 15.75G).
-_COEFF_ROW_BLOCK = 1 << 16
+import os as _os
+
+# Block size for the batch-open round's scan (r4 OOM fix).  Env-tunable:
+# at k=21 the deg-2 round is 32 scan steps of 2^16 rows — sweepable
+# against underutilization (PLONKISH_TPU_COEFF_BLOCK_LOG2=17/18).
+_COEFF_ROW_BLOCK = 1 << int(
+    _os.environ.get("PLONKISH_TPU_COEFF_BLOCK_LOG2", "16")
+)
 
 
 @_functools.partial(_jax.jit, static_argnums=0)
