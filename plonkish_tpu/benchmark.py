@@ -307,15 +307,45 @@ def _main(argv=None) -> None:
             y = [Fp(rng.randrange(spec.p), spec) for _ in range(k)]
             samples = args.samples or _sample_size(k)
 
+            # k>=23 exceeds 16 GB HBM with both the unpacked input tables
+            # and the packed round state resident: donate the inputs into
+            # the pack (peak = packed + one table) and re-upload them from
+            # host copies between samples (untimed).
+            donate = args.backend == "jax" and k >= 23
+            host_tables = None
+            num_polys = len(polys)
+            if donate:
+                import numpy as np_
+
+                os.environ["PLONKISH_TPU_DONATE_SUMCHECK_INPUTS"] = "1"
+                host_tables = [
+                    np_.asarray(p.evals, dtype=np_.uint32) for p in polys
+                ]
+                # release every device copy: the setup tables would
+                # otherwise stay pinned alongside the packed prove state
+                polys = inst = pre = wit = base_polys = perm = z = None
+
+            def fresh_polys():
+                if not donate:
+                    return polys
+                import jax.numpy as jnp_
+
+                from plonkish_tpu.poly.multilinear import MLPoly
+
+                return [
+                    MLPoly(spec, jnp_.asarray(t)) for t in host_tables
+                ]
+
             def time_prove():
                 times = []
                 for sample in range(samples + 1):  # first warms compiles
+                    sample_polys = fresh_polys()
                     tr = Keccak256Transcript(spec)
                     t0 = time.perf_counter()
                     ClassicSumCheck.evaluations().prove(
                         spec, k,
                         VirtualPolynomial(
-                            expression, polys, challenges, [y]
+                            expression, sample_polys, challenges, [y]
                         ),
                         Fp.zero(spec), tr,
                     )
@@ -350,12 +380,12 @@ def _main(argv=None) -> None:
             secs = avg_ms / 1e3
             mul_pct = roofline.roofline_pct(
                 roofline.sumcheck_u32_mul_ops(
-                    spec, expression, k, len(polys), challenges
+                    spec, expression, k, num_polys, challenges
                 ),
                 secs, bk,
             )
             hbm_pct = roofline.roofline_pct(
-                roofline.sumcheck_hbm_bytes(k, len(polys)),
+                roofline.sumcheck_hbm_bytes(k, num_polys),
                 secs, bk, kind="hbm_bytes",
             )
             pct_s = (

@@ -270,11 +270,15 @@ class ProverState:
                 # and permuting it, holds three full-size copies at the
                 # peak — the k=23 single-chip blocker (16 GB HBM).
                 rev = jnp.asarray(_psc.bitrev_perm(num_vars))
+                pack = (
+                    _pack_table_donate_jit
+                    if _os.environ.get(
+                        "PLONKISH_TPU_DONATE_SUMCHECK_INPUTS"
+                    ) == "1"
+                    else _pack_table_jit
+                )
                 stacked = jnp.stack(
-                    [
-                        _pack_table_jit(tables[k], rev)
-                        for k in self.table_keys
-                    ],
+                    [pack(tables[k], rev) for k in self.table_keys],
                     axis=0,
                 )
                 hyper_axis = 2
@@ -386,13 +390,27 @@ import functools as _functools
 
 import jax as _jax
 
-@_functools.partial(_jax.jit, donate_argnums=())
-def _pack_table_jit(tbl, rev):
+def _pack_table_body(tbl, rev):
     """One table [n, L] -> packed bit-reversed [W, n] (transpose + digit
     pack + BH bit-reversal fused per table; see ProverState.__init__)."""
     from ..pallas import sumcheck as _psc
 
     return _psc.pack_digits(tbl.T)[:, rev]
+
+
+_pack_table_jit = _functools.partial(_jax.jit, donate_argnums=())(
+    _pack_table_body
+)
+# Donating variant: frees each unpacked input buffer as it is packed, so
+# the peak is (packed state + one table) instead of (all unpacked + all
+# packed) — the difference between fitting and ResourceExhausted for
+# zero_check at k>=23 on a 16 GB v5e.  Only safe when the caller will not
+# touch the arrays again (jax invalidates donated buffers loudly);
+# enabled per-prove via PLONKISH_TPU_DONATE_SUMCHECK_INPUTS=1 (the
+# zero_check bench re-uploads its tables between samples).
+_pack_table_donate_jit = _functools.partial(_jax.jit, donate_argnums=0)(
+    _pack_table_body
+)
 
 
 # tail sum-check rounds are zero-padded up to this many pairs so they share
