@@ -251,11 +251,16 @@ MASK8 = np.uint32(0xFF)
 
 
 def _to_bytes_f32(a) -> List[jnp.ndarray]:
-    """L u32 16-bit digit arrays -> 2L f32 byte-digit arrays (exact)."""
+    """L u32 16-bit digit arrays -> 2L f32 byte-digit arrays (exact).
+
+    Mosaic has no u32->f32 cast; go through i32 (values < 2^16, so the
+    sign bit is never set and the round-trip is exact)."""
     out = []
     for d in a:
-        out.append((d & MASK8).astype(jnp.float32))
-        out.append((d >> np.uint32(8)).astype(jnp.float32))
+        out.append((d & MASK8).astype(jnp.int32).astype(jnp.float32))
+        out.append(
+            (d >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+        )
     return out
 
 
@@ -322,7 +327,9 @@ def _pair_bytes_u32(cols) -> List[jnp.ndarray]:
     """Exact f32 base-256 columns -> lazy u32 base-2^16 digits:
     d[k] = c[2k] + c[2k+1]·256, value < 2^21 + 2^29 < 2^30 (safe for the
     carry chain's digit+carry < 2^32 requirement)."""
-    c = [x.astype(jnp.uint32) for x in cols]
+    # f32 -> i32 -> u32: Mosaic lacks the direct f32->u32 cast; values are
+    # exact integers < 2^30 so the i32 hop is lossless
+    c = [x.astype(jnp.int32).astype(jnp.uint32) for x in cols]
     ds = []
     for k in range(0, len(c) - 1, 2):
         ds.append(c[k] + (c[k + 1] << np.uint32(8)))
