@@ -131,7 +131,9 @@ def bench_fieldmul(log2n: int, iters: int):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--msm-log2", type=int, default=18)
+    # 2^20 is the headline size: the bucket kernel's fixed costs amortize
+    # ~4x better than at 2^18 (see docs/PERF_NOTES.md round 5)
+    ap.add_argument("--msm-log2", type=int, default=20)
     ap.add_argument("--budget", type=int, default=1200)
     ap.add_argument("--fieldmul-only", action="store_true")
     args = ap.parse_args()
@@ -139,10 +141,12 @@ def main() -> None:
     import jax
 
     backend = jax.default_backend()
-    cache = (
-        "/tmp/plonkish_tpu_jax_cache_tpu"
-        if backend == "tpu"
-        else "/tmp/plonkish_tpu_jax_cache"
+    # keep the persistent compile cache inside the repo: /tmp is wiped on
+    # host restarts, which re-colds every Mosaic compile mid-campaign
+    _root = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(
+        _root,
+        "target/jax_cache_tpu" if backend == "tpu" else "target/jax_cache_cpu",
     )
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -164,10 +164,14 @@ def _main(argv=None) -> None:
             # sitecustomize pins JAX_PLATFORMS=axon; this is the only way
             # to run the jax backend on host CPU (diagnosis / CI boxes)
             jax.config.update("jax_platforms", "cpu")
-        cache = (
-            "/tmp/plonkish_tpu_jax_cache_tpu"
+        # repo-resident cache dir: /tmp is wiped on host restarts, which
+        # re-colds every Mosaic compile mid-campaign
+        _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cache = os.path.join(
+            _root,
+            "target/jax_cache_tpu"
             if jax.default_backend() == "tpu"
-            else "/tmp/plonkish_tpu_jax_cache"
+            else "target/jax_cache_cpu",
         )
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
