@@ -94,7 +94,7 @@ def _main(argv=None) -> None:
         default="hyperplonk",
         choices=[
             "hyperplonk", "univariate_plonk", "protostar", "sangria",
-            "zero_check",
+            "zero_check", "pcs",
         ],
         help="protostar/sangria time the per-step accumulation fold "
         "(reference Protostar::prove_accumulation_from_nark, "
@@ -242,7 +242,11 @@ def _main(argv=None) -> None:
     ks = range(int(lo), int(hi))
 
     os.makedirs("target/bench", exist_ok=True)
-    out_path = f"target/bench/{args.system}"
+    out_path = (
+        f"target/bench/pcs_{args.pcs}"
+        if args.system == "pcs"
+        else f"target/bench/{args.system}"
+    )
     # Label each measurement batch (advisor r02: appended rows with
     # duplicate k keys were ambiguous).  Consumers (plotter.read_series)
     # skip '#' lines; "last row per k wins" resolves re-measurements.
@@ -401,6 +405,62 @@ def _main(argv=None) -> None:
             print(
                 f"k={k} zero_check prove avg {avg_ms:.1f} ms "
                 f"(first incl compile {cold_ms:.0f} ms){pct_s}", flush=True
+            )
+        return
+
+    if args.system == "pcs":
+        # PCS commit/open microbench — the reference's criterion pcs bench
+        # (plonkish_backend/benches/pcs.rs:26, 102-124: 6 multilinear PCS,
+        # k=16..21, commit and open timed separately).  Rows appended to
+        # target/bench/pcs_<scheme> as `k, commit_ms, open_ms`.
+        from plonkish_tpu.fields import BN254_FR as spec
+        from plonkish_tpu.fields.host import Fp
+        from plonkish_tpu.poly.multilinear import MLPoly
+
+        pcs = make_pcs(args.pcs)
+        pcs_spec = getattr(pcs, "field_spec", spec)
+        for k in ks:
+            _FAIL_NOTE["k"] = k
+            rng = random.Random(42)
+            n = 1 << k
+            param = pcs.setup(n, 1, random.Random(0))
+            pp, vp = pcs.trim(param, n, 1)
+            poly = MLPoly.from_fps(
+                pcs_spec,
+                [Fp(rng.randrange(pcs_spec.p), pcs_spec) for _ in range(n)],
+            )
+            samples = args.samples or _sample_size(k)
+            commit_t, open_t = [], []
+            proof = None
+            for sample in range(samples + (args.backend == "jax")):
+                tr = Keccak256Transcript(pcs_spec)
+                t0 = time.perf_counter()
+                comm = pcs.commit_and_write(pp, poly, tr)
+                t1 = time.perf_counter()
+                point = tr.squeeze_challenges(k)
+                eval_ = poly.evaluate(point)
+                tr.write_field_element(eval_)
+                t2 = time.perf_counter()
+                pcs.open(pp, poly, comm, point, eval_, tr)
+                t3 = time.perf_counter()
+                commit_t.append(t1 - t0)
+                open_t.append(t3 - t2)
+                proof = tr.into_proof()
+            # self-check once per k: the proof must verify
+            r = Keccak256Transcript.from_proof(pcs_spec, proof)
+            comm_r = pcs.read_commitments(vp, 1, r)[0]
+            point_r = r.squeeze_challenges(k)
+            eval_r = r.read_field_element()
+            pcs.verify(vp, comm_r, point_r, eval_r, r)
+            if args.backend == "jax":  # first sample warmed compiles
+                commit_t, open_t = commit_t[1:], open_t[1:]
+            commit_ms = sum(commit_t) / len(commit_t) * 1e3
+            open_ms = sum(open_t) / len(open_t) * 1e3
+            _append_series(out_path, f"{k}, {commit_ms:.3f}, {open_ms:.3f}\n")
+            print(
+                f"k={k} {args.pcs} commit {commit_ms:.1f} ms "
+                f"open {open_ms:.1f} ms (avg of {len(open_t)})",
+                flush=True,
             )
         return
 

@@ -18,7 +18,7 @@ os.environ.setdefault("PLONKISH_TPU_BACKEND", "jax")
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/plonkish_tpu_jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", "target/jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random

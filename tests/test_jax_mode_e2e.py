@@ -26,7 +26,7 @@ SCRIPT = textwrap.dedent(
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/plonkish_tpu_jax_cache"
+        "jax_compilation_cache_dir", "/root/repo/target/jax_cache_cpu"
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -97,7 +97,7 @@ def test_jax_mode_hyperplonk_roundtrip(pcs, k, golden):
     env.update(
         PLONKISH_TPU_BACKEND="jax",
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/plonkish_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR="/root/repo/target/jax_cache_cpu",
         TF_CPP_MIN_LOG_LEVEL="3",
     )
     # the subprocess must not inherit the 8-virtual-device flag requirement;

@@ -26,7 +26,7 @@ SCRIPT = textwrap.dedent(
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/plonkish_tpu_jax_cache"
+        "jax_compilation_cache_dir", "/root/repo/target/jax_cache_cpu"
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -78,7 +78,7 @@ def test_sharded_full_prover_roundtrip():
     env.update(
         PLONKISH_TPU_BACKEND="jax",
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/plonkish_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR="/root/repo/target/jax_cache_cpu",
         TF_CPP_MIN_LOG_LEVEL="3",
         XLA_FLAGS=flags,
     )
@@ -106,7 +106,7 @@ SCRIPT_KZG = textwrap.dedent(
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/plonkish_tpu_jax_cache"
+        "jax_compilation_cache_dir", "/root/repo/target/jax_cache_cpu"
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -200,7 +200,7 @@ def test_sharded_kzg_prover_byte_identical():
     env.update(
         PLONKISH_TPU_BACKEND="jax",
         JAX_PLATFORMS="cpu",
-        JAX_COMPILATION_CACHE_DIR="/tmp/plonkish_tpu_jax_cache",
+        JAX_COMPILATION_CACHE_DIR="/root/repo/target/jax_cache_cpu",
         TF_CPP_MIN_LOG_LEVEL="3",
         XLA_FLAGS=flags,
     )
