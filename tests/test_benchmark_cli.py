@@ -38,6 +38,18 @@ def test_cli_sangria_fold():
     assert os.path.exists("target/bench/sangria")
 
 
+def test_cli_pcs_microbench():
+    benchmark.main(
+        ["--system", "pcs", "--pcs", "kzg", "--k", "5..6",
+         "--samples", "1"]
+    )
+    assert os.path.exists("target/bench/pcs_kzg")
+    with open("target/bench/pcs_kzg") as f:
+        rows = [l for l in f if not l.startswith("#")]
+    # `k, commit_ms, open_ms`
+    assert rows and len(rows[0].split(",")) == 3
+
+
 def test_cli_plotter(tmp_path):
     from plonkish_tpu import plotter
 
