@@ -234,8 +234,12 @@ def permutation_z_polys(
     """
     if not permutation_polys:
         return []
-    spec = polys[0].spec
-    num_vars = polys[0].num_vars
+    # index through a permutation column: callers streaming tables off
+    # device (benchmark.py k>=23 setup) pass `polys` sparse, with only
+    # the perm_idx positions populated — the only ones read below
+    _first = polys[permutation_polys[0][0]]
+    spec = _first.spec
+    num_vars = _first.num_vars
     n = 1 << num_vars
     chunk_size = -(-len(permutation_polys) // num_chunks)
 
