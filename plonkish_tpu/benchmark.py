@@ -608,23 +608,33 @@ def _main(argv=None) -> None:
         from plonkish_tpu.accumulation.protostar import Protostar, Sangria
 
         scheme_cls = Protostar if args.system == "protostar" else Sangria
+        def _prog(msg):
+            print(
+                f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True
+            )
+
         for k in ks:
             _FAIL_NOTE["k"] = k
             pcs = make_pcs(args.pcs)
             spec = pcs.field_spec
+            _prog(f"k={k}: generating circuit_info ({args.circuit})")
             circuit_info, _ = circuit_fn(
                 spec, k, random.Random(42), random.Random(4242)
             )
             scheme = scheme_cls(pcs)
+            _prog(f"k={k}: setup (SRS)")
             param = scheme.setup(circuit_info, random.Random(0))
+            _prog(f"k={k}: preprocess")
             pp, vp = scheme.preprocess(param, circuit_info)
             accumulator = scheme.init_accumulator(pp)
             samples = max(2, (args.samples or _sample_size(k)) // 2)
             fold_times = []
             for i in range(samples + (args.backend == "jax")):
+                _prog(f"k={k}: synthesize circuit {i}")
                 _, circuit = circuit_fn(
                     spec, k, random.Random(42), random.Random(1000 + i)
                 )
+                _prog(f"k={k}: fold {i}")
                 t0 = time.perf_counter()
                 scheme.prove_accumulation_from_nark(
                     pp, accumulator, circuit, Keccak256Transcript(spec)
@@ -636,10 +646,21 @@ def _main(argv=None) -> None:
                 cold_note = f", first incl compile {fold_times[0] * 1e3:.0f} ms"
                 fold_times = fold_times[1:]
             avg_ms = sum(fold_times) / len(fold_times) * 1e3
+            # append the fold row BEFORE attempting the decider: the
+            # decider's cold _fused_tail_scan compile is minutes through
+            # the remote-compile tunnel, and a stage timeout there must
+            # not lose the fold measurement
+            _append_series(out_path, f"{k}, {avg_ms:.3f}\n")
+            print(
+                f"k={k} {args.system} fold avg {avg_ms:.1f} ms "
+                f"({len(fold_times)} folds{cold_note})",
+                flush=True,
+            )
             # decider: one-shot proof of the accumulated instance
             # (reference prove_decider_with_last_nark,
             # accumulation/protostar/hyperplonk.rs:454-535; BASELINE
             # config[4] wants fold AND decider timed)
+            _prog(f"k={k}: decider (cold compile is minutes)")
             _, last_circuit = circuit_fn(
                 spec, k, random.Random(42), random.Random(999)
             )
@@ -655,34 +676,38 @@ def _main(argv=None) -> None:
                 Keccak256Transcript.from_proof(spec, tr.into_proof()),
             )
             _append_series(
-                out_path,
-                f"{k}, {avg_ms:.3f}\n"
-                f"# decider k={k}: {decider_s * 1e3:.3f} ms\n",
+                out_path, f"# decider k={k}: {decider_s * 1e3:.3f} ms\n"
             )
             print(
-                f"k={k} {args.system} fold avg {avg_ms:.1f} ms "
-                f"({len(fold_times)} folds{cold_note}), decider "
+                f"k={k} {args.system} decider "
                 f"{decider_s * 1e3:.1f} ms (incl compile, verified)",
                 flush=True,
             )
         return
 
+    def _prog(msg):
+        print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
     for k in ks:
         _FAIL_NOTE["k"] = k
         pcs = make_pcs(args.pcs)
         spec = pcs.field_spec
+        _prog(f"k={k}: generating circuit ({args.circuit})")
         circuit_info, circuit = circuit_fn(
             spec, k, random.Random(42), random.Random(4242)
         )
         backend = HyperPlonk(pcs)
         t0 = time.perf_counter()
+        _prog(f"k={k}: setup (SRS)")
         param = _setup_cached(backend, circuit_info, k, args.pcs)
+        _prog(f"k={k}: preprocess")
         pp, vp = backend.preprocess(param, circuit_info)
         setup_s = time.perf_counter() - t0
 
         samples = args.samples or _sample_size(k)
         cold_s = None
         if args.backend == "jax":
+            _prog(f"k={k}: warm-up prove (cold compiles are minutes)")
             # one untimed warm-up prove: XLA/Mosaic cold compiles at bench
             # sizes are minutes and would otherwise be the entire k>=20
             # "sample" (zero_check branch discards its first sample the
@@ -694,7 +719,8 @@ def _main(argv=None) -> None:
         timer.reset_trace()
         prove_times = []
         proof = None
-        for _ in range(samples):
+        for _s in range(samples):
+            _prog(f"k={k}: prove sample {_s + 1}/{samples}")
             tr = Keccak256Transcript(spec)
             t0 = time.perf_counter()
             backend.prove(pp, circuit, tr)
