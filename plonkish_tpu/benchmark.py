@@ -524,6 +524,10 @@ def _main(argv=None) -> None:
             _FAIL_NOTE["k"] = k
             rng = random.Random(42)
             n = 1 << k
+            print(
+                f"[{time.strftime('%H:%M:%S')}] k={k}: pcs setup (SRS)",
+                flush=True,
+            )
             param = pcs.setup(n, 1, random.Random(0))
             pp, vp = pcs.trim(param, n, 1)
             poly = MLPoly.from_fps(
