@@ -1170,6 +1170,37 @@ def _coeff_round_jax(spec, eq_tbls, p_tbls, scalar_digits, mask):
     return limb._mont_mul_jax(spec, totals, one_)  # canonical
 
 
+@_functools.partial(_jax.jit, static_argnums=0)
+def _coeff_block_sums_jax(spec, eq_tbls, p_tbls):
+    """One row block of the degree-2 round, all rows live:
+    [T, rows, L] eq/poly slices -> [2, T, L] partial (c0, c2) sums.
+    Used by the blocked big-round path in _prove_device_fs_coeff (the
+    whole-state `stacked[eq_rows]` gather is 2 x terms x n x L words —
+    ~11 GB at k=22 round 0, the last e2e HBM blocker)."""
+    t, rows, l_ = eq_tbls.shape
+    eq = eq_tbls.reshape(t, rows // 2, 2, l_)
+    p = p_tbls.reshape(t, rows // 2, 2, l_)
+    lo = limb._mont_mul_jax(spec, eq[:, :, 0], p[:, :, 0])
+    diff = limb._mont_mul_jax(
+        spec,
+        limb._sub_jax(spec, eq[:, :, 1], eq[:, :, 0]),
+        limb._sub_jax(spec, p[:, :, 1], p[:, :, 0]),
+    )
+    return limb._sum_reduce_jax(
+        spec, jnp.stack([lo, diff], axis=0).transpose(2, 0, 1, 3)
+    )  # [2, T, L]
+
+
+@_functools.partial(_jax.jit, static_argnums=0)
+def _coeff_finish_jax(spec, sums, scalar_digits):
+    """Weight accumulated [2, T, L] sums by the per-term scalars and
+    canonicalize -> [2, L] (c0, c2)."""
+    scaled = limb._mont_mul_jax(spec, sums, scalar_digits[None])
+    totals = limb._sum_reduce_jax(spec, scaled.transpose(1, 0, 2))
+    one_ = jnp.zeros((limb.L,), jnp.uint32).at[0].set(1)
+    return limb._mont_mul_jax(spec, totals, one_)
+
+
 # ---------------------------------------------------------------------------
 # ClassicSumCheck driver
 # ---------------------------------------------------------------------------
@@ -1498,15 +1529,40 @@ class ClassicSumCheck:
             c0_base_mont = jnp.asarray(
                 int_to_digits(spec.to_mont(int(c0_base)))
             )
-            eq_s, p_s = stacked[eq_rows], stacked[p_rows]
-            psize = max(size, _TAPE_PAD_SIZE)
-            if size < psize:
-                padrows = 2 * (psize - size)
-                eq_s = jnp.pad(eq_s, ((0, 0), (0, padrows), (0, 0)))
-                p_s = jnp.pad(p_s, ((0, 0), (0, padrows), (0, 0)))
-            mask = np.zeros(psize, np.uint32)
-            mask[:size] = 1
-            v_canon = _coeff_round_jax(spec, eq_s, p_s, sc, jnp.asarray(mask))
+            n_terms = int(eq_rows.shape[0])
+            rows_total = 2 * size
+            gather_bytes = 2 * n_terms * rows_total * limb.L * 4
+            if rows_total >= (1 << 20) and gather_bytes > (1 << 30):
+                # Big rounds: the whole-state term gather would hold
+                # 2 x terms full-length table copies (~11 GB at k=22
+                # round 0).  Slice pair-aligned row blocks out of the
+                # state, gather only the block, and accumulate the
+                # [2, T, L] partial sums — peak extra memory O(block).
+                # All rows are live here (size >= 2^19 > pad size).
+                rb = 1 << 18
+                sums = None
+                for b in range(rows_total // rb):
+                    sl = slice(b * rb, (b + 1) * rb)
+                    part = _coeff_block_sums_jax(
+                        spec, stacked[eq_rows, sl], stacked[p_rows, sl]
+                    )
+                    sums = (
+                        part if sums is None
+                        else limb._add_jax(spec, sums, part)
+                    )
+                v_canon = _coeff_finish_jax(spec, sums, sc)
+            else:
+                eq_s, p_s = stacked[eq_rows], stacked[p_rows]
+                psize = max(size, _TAPE_PAD_SIZE)
+                if size < psize:
+                    padrows = 2 * (psize - size)
+                    eq_s = jnp.pad(eq_s, ((0, 0), (0, padrows), (0, 0)))
+                    p_s = jnp.pad(p_s, ((0, 0), (0, padrows), (0, 0)))
+                mask = np.zeros(psize, np.uint32)
+                mask[:size] = 1
+                v_canon = _coeff_round_jax(
+                    spec, eq_s, p_s, sc, jnp.asarray(mask)
+                )
             (msg_canon, ch_canon, ch_mont, sum_mont,
              sponge) = fs.coeff_message(
                 spec, sponge, v_canon, c0_base_mont, sum_mont
